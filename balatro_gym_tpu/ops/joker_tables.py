@@ -213,10 +213,16 @@ _IS_FACELESS = _flag(J_FACELESS)         # discard: $5 if >=3 face discards
 
 
 class JokerTables:
-    """Device-resident dense tables, one instance per process."""
+    """Dense tables held as numpy constants.
+
+    Kept as numpy (not jnp) on purpose: numpy arrays are embedded as
+    trace-time constants, so the singleton can be created lazily even inside
+    a jit trace without leaking tracers, and XLA de-duplicates them across
+    programs.
+    """
 
     def __init__(self):
-        as_j = jnp.asarray
+        as_j = np.asarray
         self.ind_chip_rank = as_j(_ind_chip_rank)
         self.ind_mult_rank = as_j(_ind_mult_rank)
         self.ind_x_rank = as_j(_ind_x_rank)
