@@ -167,3 +167,76 @@ def decode_action(action):
 def step_action(st: SimEnvState, action):
     sel, isd = decode_action(action)
     return step(st, sel, isd)
+
+
+def step_autoreset(st: SimEnvState, action):
+    """step_action(), then re-deal in place when the blind ends — the
+    vectorized rollout primitive (done => fresh fixture deck, same jokers)."""
+    st2, reward, done = step_action(st, action)
+    fresh = reset(st2.key, jokers=st2.jokers)
+    st3 = jax.tree.map(lambda f, s: jnp.where(done, f, s), fresh, st2)
+    return st3, reward, done
+
+
+OBS_DIM = 8 * 17 + MAX_JOKERS + 6
+
+
+def observe(st: SimEnvState):
+    """Flat f32 policy observation (single env; vmap outside).
+
+    Layout: per hand slot rank one-hot[13] + suit one-hot[4] (zero when
+    empty), joker ids/150, then scalars [hands_left/4, discards_left/3,
+    money/20, score/blind, blind/1000, deck_n/52].
+    """
+    slot = jnp.arange(HAND_SIZE)
+    valid = slot < st.hand_n
+    rank_oh = (st.hand_rank[:, None] == jnp.arange(2, 15)) & valid[:, None]
+    suit_oh = (st.hand_suit[:, None] == jnp.arange(4)) & valid[:, None]
+    cards = jnp.concatenate([rank_oh, suit_oh], axis=-1).reshape(-1)
+    scalars = jnp.stack([
+        st.hands_left / 4.0, st.discards_left / 3.0, st.money / 20.0,
+        st.score.astype(jnp.float32) / jnp.maximum(st.blind_requirement, 1).astype(jnp.float32),
+        st.blind_requirement.astype(jnp.float32) / 1000.0, st.deck_n / 52.0,
+    ]).astype(jnp.float32)
+    return jnp.concatenate([cards.astype(jnp.float32),
+                            st.jokers.astype(jnp.float32) / 150.0, scalars])
+
+
+def random_legal_action(st: SimEnvState, key):
+    """Uniform draw over the legal [10] action mask."""
+    mask = action_mask(st)
+    logits = jnp.where(mask, 0.0, -jnp.inf)
+    return jax.random.categorical(key, logits)
+
+
+def rollout_random(key, n_envs: int, n_steps: int, jokers=None):
+    """Random-policy vmapped rollout with auto-reset, fully on device.
+
+    Returns (final_states, total_reward f64, episodes_done i32). One compiled
+    lax.scan; throughput = n_envs * n_steps / wall.
+    """
+    keys = jax.random.split(key, n_envs)
+    if jokers is not None:
+        jokers = jnp.broadcast_to(jnp.asarray(jokers, jnp.int32), (n_envs, MAX_JOKERS))
+        states = jax.vmap(reset)(keys, jokers)
+    else:
+        states = jax.vmap(reset)(keys)
+
+    def one(st, k):
+        a = random_legal_action(st, k)
+        st2, reward, done = step_action(st, a)
+        fresh = reset(st2.key, jokers=st2.jokers)
+        st3 = jax.tree.map(lambda f, s: jnp.where(done, f, s), fresh, st2)
+        return st3, reward, done
+
+    def body(carry, k):
+        sts, tot, eps = carry
+        ks = jax.random.split(k, n_envs)
+        sts, rew, done = jax.vmap(one)(sts, ks)
+        return (sts, tot + jnp.sum(rew).astype(_F),
+                eps + jnp.sum(done, dtype=jnp.int32)), None
+
+    (states, total, eps), _ = jax.lax.scan(
+        body, (states, jnp.zeros((), _F), jnp.int32(0)),
+        jax.random.split(jax.random.fold_in(key, 1), n_steps))
+    return states, total, eps

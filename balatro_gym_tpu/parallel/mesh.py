@@ -1,0 +1,119 @@
+"""Multi-chip / multi-host data parallelism over a jax.sharding.Mesh.
+
+The reference's only parallelism is OS-process SubprocVecEnv on one node
+(reference: train_balatro_agent.py:313-316, train.sbatch:5-8 — 1 GPU, no
+NCCL/MPI anywhere). The TPU-native mapping (SURVEY §2.7): envs are leaves of a
+batched pytree SHARDED over the mesh's data axis, the PPO learner's params
+are REPLICATED, and the only collectives are the gradient/metric
+``pmean``/``psum`` inside the update — which XLA lowers onto ICI.
+
+``shard_map`` (not pjit auto-sharding) is used for the train step so the
+per-shard program is exactly the single-chip program: no accidental
+cross-shard gathers from minibatch permutation; collectives appear only where
+written.
+
+Multi-host: call :func:`init_distributed` first (jax.distributed.initialize),
+then build the mesh over ``jax.devices()`` — env shards then live host-local
+and gradient reductions ride ICI within the slice / DCN across hosts exactly
+as laid out by the device order.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from balatro_gym_tpu.train.ppo import EnvHooks, PPOConfig, TrainState, make_ppo
+
+DATA_AXIS = "dp"
+
+
+def init_distributed(coordinator: str | None = None, num_processes: int | None = None,
+                     process_id: int | None = None):
+    """Multi-host bring-up (no-op on single host unless args given)."""
+    if num_processes and num_processes > 1:
+        jax.distributed.initialize(coordinator, num_processes, process_id)
+
+
+def make_mesh(n_devices: int | None = None, axis: str = DATA_AXIS) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def _train_state_specs(ts: TrainState, axis: str) -> TrainState:
+    """PartitionSpec pytree: env batch sharded on the data axis, rest replicated."""
+    return TrainState(
+        params=jax.tree.map(lambda _: P(), ts.params),
+        opt_state=jax.tree.map(lambda _: P(), ts.opt_state),
+        env_states=jax.tree.map(lambda _: P(axis), ts.env_states),
+        key=P(),
+        update_idx=P(),
+    )
+
+
+def make_distributed_ppo(hooks: EnvHooks, cfg: PPOConfig, mesh: Mesh,
+                         axis: str = DATA_AXIS):
+    """Build (init_fn, step_fn) for data-parallel PPO over ``mesh``.
+
+    cfg.n_envs is the GLOBAL env count and must divide by the mesh size;
+    each shard steps n_envs // size envs. init_fn returns a TrainState whose
+    env leaves are already placed with the sharded layout; step_fn is the
+    jitted shard_map'd update (params replicated in and out, verified by the
+    pmean'd gradients).
+    """
+    size = mesh.devices.size
+    if cfg.n_envs % size:
+        raise ValueError(f"n_envs={cfg.n_envs} not divisible by mesh size {size}")
+    init_fn, update_fn, policy_fn = make_ppo(hooks, cfg)
+
+    def sharded_init(key) -> TrainState:
+        ts = init_fn(key)
+        specs = _train_state_specs(ts, axis)
+        shardings = jax.tree.map(
+            lambda s: NamedSharding(mesh, s), specs,
+            is_leaf=lambda x: isinstance(x, P))
+        return jax.tree.map(jax.device_put, ts, shardings)
+
+    # Spec trees are built from a throwaway abstract init so the shard_map
+    # signature is known before any real state exists.
+    abstract = jax.eval_shape(init_fn, jax.random.key(0))
+    specs = _train_state_specs(abstract, axis)
+    metric_specs = {k: P() for k in
+                    ("loss", "pg_loss", "vf_loss", "entropy", "mean_reward",
+                     "episodes")}
+
+    step = jax.jit(
+        jax.shard_map(
+            functools.partial(update_fn, axis_name=axis),
+            mesh=mesh,
+            in_specs=(specs,),
+            out_specs=(specs, metric_specs),
+            check_vma=False,
+        ),
+        donate_argnums=(0,),
+    )
+    return sharded_init, step, policy_fn
+
+
+def train_distributed(num_updates: int = 8, cfg: PPOConfig | None = None,
+                      mesh: Mesh | None = None, seed: int = 0,
+                      hooks: EnvHooks | None = None, log_every: int = 0):
+    """Data-parallel training driver. Returns (TrainState, last metrics)."""
+    from balatro_gym_tpu.train.ppo import sim_env_hooks
+
+    cfg = cfg or PPOConfig()
+    hooks = hooks or sim_env_hooks()
+    mesh = mesh or make_mesh()
+    init_fn, step_fn, _ = make_distributed_ppo(hooks, cfg, mesh)
+    ts = init_fn(jax.random.key(seed))
+    metrics = None
+    for i in range(num_updates):
+        ts, metrics = step_fn(ts)
+        if log_every and (i + 1) % log_every == 0:
+            print(f"update {i + 1}: " +
+                  str({k: float(v) for k, v in metrics.items()}))
+    return ts, metrics

@@ -1,0 +1,251 @@
+"""On-device PPO learner.
+
+Replaces the reference's SB3 PPO + SubprocVecEnv stack
+(reference: train_balatro_agent.py:269-461, hpc_train.py:39-152): instead of
+N worker processes stepping Python envs over pipes into a torch learner, the
+envs are a vmapped pytree and the WHOLE loop — rollout (lax.scan of jitted env
+steps + policy), GAE, minibatched clipped-PPO updates — is one compiled XLA
+program with zero host round-trips.
+
+Hyperparameter defaults mirror the reference's PPO table
+(train_balatro_agent.py:326-344: lr 3e-4, n_steps 2048→here per-env horizon,
+gamma 0.99, gae_lambda 0.95, clip 0.2, ent 0.01, vf 0.5, 10 epochs).
+
+The learner is environment-generic: it takes an ``EnvHooks`` bundle of pure
+functions (reset / step_autoreset / observe / action_mask), so the same code
+trains on SimEnv today and the full flagship env later.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from balatro_gym_tpu.train.networks import ActorCritic
+
+
+class EnvHooks(NamedTuple):
+    """Pure-function env interface (all single-env; vmapped internally)."""
+
+    reset: Callable[..., Any]          # key -> state
+    step_autoreset: Callable[..., Any]  # (state, action) -> (state, reward, done)
+    observe: Callable[..., Any]        # state -> [D] f32
+    action_mask: Callable[..., Any]    # state -> [A] bool
+    n_actions: int
+    obs_dim: int
+
+
+@struct.dataclass
+class PPOConfig:
+    n_envs: int = 1024
+    rollout_len: int = 16
+    epochs: int = 4
+    minibatches: int = 4
+    lr: float = 3e-4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    ent_coef: float = 0.01
+    vf_coef: float = 0.5
+    max_grad_norm: float = 0.5
+    hidden: tuple = (256, 256)
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    env_states: Any      # batched env pytree [n_envs, ...]
+    key: jnp.ndarray
+    update_idx: jnp.ndarray
+
+
+class Transition(NamedTuple):
+    obs: jnp.ndarray
+    mask: jnp.ndarray
+    action: jnp.ndarray
+    log_prob: jnp.ndarray
+    value: jnp.ndarray
+    reward: jnp.ndarray
+    done: jnp.ndarray
+
+
+def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
+    """Build (init_fn, update_fn, policy_fn) closures for one PPO run.
+
+    init_fn(key) -> TrainState
+    update_fn(TrainState) -> (TrainState, metrics dict)   [pure; jit/shard_map it]
+    policy_fn(params, obs, mask) -> (logits, value)
+    """
+    net = ActorCritic(n_actions=hooks.n_actions, hidden=tuple(cfg.hidden))
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adam(cfg.lr, eps=1e-5),
+    )
+
+    def init_fn(key):
+        k_net, k_env, k_run = jax.random.split(key, 3)
+        dummy_obs = jnp.zeros((1, hooks.obs_dim), jnp.float32)
+        dummy_mask = jnp.ones((1, hooks.n_actions), bool)
+        params = net.init(k_net, dummy_obs, dummy_mask)
+        env_states = jax.vmap(hooks.reset)(jax.random.split(k_env, cfg.n_envs))
+        return TrainState(
+            params=params, opt_state=tx.init(params), env_states=env_states,
+            key=k_run, update_idx=jnp.int32(0),
+        )
+
+    def _policy_step(params, env_states, key):
+        obs = jax.vmap(hooks.observe)(env_states)
+        mask = jax.vmap(hooks.action_mask)(env_states)
+        logits, value = net.apply(params, obs, mask)
+        action = jax.random.categorical(key, logits)
+        log_prob = jnp.take_along_axis(
+            jax.nn.log_softmax(logits), action[:, None], axis=-1)[:, 0]
+        return obs, mask, action, log_prob, value
+
+    def _rollout(params, env_states, key):
+        def body(carry, k):
+            env_states = carry
+            k_act, k_step = jax.random.split(k)
+            obs, mask, action, log_prob, value = _policy_step(params, env_states, k_act)
+            env_states, reward, done = jax.vmap(hooks.step_autoreset)(env_states, action)
+            t = Transition(obs, mask, action, log_prob, value,
+                           reward.astype(jnp.float32), done)
+            return env_states, t
+
+        env_states, traj = jax.lax.scan(
+            body, env_states, jax.random.split(key, cfg.rollout_len))
+        return env_states, traj  # traj leaves: [T, n_envs, ...]
+
+    def _gae(traj: Transition, last_value):
+        def body(carry, t):
+            gae, next_value = carry
+            nonterm = 1.0 - t.done.astype(jnp.float32)
+            delta = t.reward + cfg.gamma * next_value * nonterm - t.value
+            gae = delta + cfg.gamma * cfg.gae_lambda * nonterm * gae
+            return (gae, t.value), gae
+
+        (_, _), adv = jax.lax.scan(
+            body, (jnp.zeros_like(last_value), last_value), traj, reverse=True)
+        return adv, adv + traj.value
+
+    def _loss(params, batch):
+        t, adv, ret = batch
+        logits, value = net.apply(params, t.obs, t.mask)
+        log_all = jax.nn.log_softmax(logits)
+        log_prob = jnp.take_along_axis(log_all, t.action[:, None], axis=-1)[:, 0]
+        ratio = jnp.exp(log_prob - t.log_prob)
+        adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
+        pg1 = ratio * adv_n
+        pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv_n
+        pg_loss = -jnp.minimum(pg1, pg2).mean()
+        v_clip = t.value + jnp.clip(value - t.value, -cfg.clip_eps, cfg.clip_eps)
+        v_loss = 0.5 * jnp.maximum((value - ret) ** 2, (v_clip - ret) ** 2).mean()
+        probs = jnp.exp(log_all)
+        ent = -jnp.sum(jnp.where(t.mask, probs * log_all, 0.0), axis=-1).mean()
+        total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
+        return total, (pg_loss, v_loss, ent)
+
+    grad_fn = jax.value_and_grad(_loss, has_aux=True)
+
+    def update_fn(ts: TrainState, axis_name: str | None = None):
+        """One PPO update: rollout + GAE + epochs×minibatches of SGD.
+
+        When ``axis_name`` is set (inside shard_map/pmap over a data-parallel
+        mesh axis), gradients are pmean'd across the axis so parameters stay
+        replicated while envs stay sharded.
+        """
+        key, k_roll, k_perm = jax.random.split(ts.key, 3)
+        if axis_name is not None:
+            # The carried key is replicated across the mesh; decorrelate the
+            # per-shard rollout/permutation draws while keeping params (and
+            # the carried key) bit-identical on every shard.
+            idx = jax.lax.axis_index(axis_name)
+            k_roll = jax.random.fold_in(k_roll, idx)
+            k_perm = jax.random.fold_in(k_perm, idx)
+        env_states, traj = _rollout(ts.params, ts.env_states, k_roll)
+
+        last_obs = jax.vmap(hooks.observe)(env_states)
+        last_mask = jax.vmap(hooks.action_mask)(env_states)
+        _, last_value = net.apply(ts.params, last_obs, last_mask)
+        adv, ret = _gae(traj, last_value)
+
+        B = cfg.rollout_len * traj.action.shape[1]  # local batch (shard-aware)
+        flat = jax.tree.map(lambda x: x.reshape((B,) + x.shape[2:]), (traj, adv, ret))
+
+        def epoch(carry, k):
+            params, opt_state = carry
+            perm = jax.random.permutation(k, B)
+            shuf = jax.tree.map(lambda x: x[perm], flat)
+            mb = jax.tree.map(
+                lambda x: x.reshape((cfg.minibatches, -1) + x.shape[1:]), shuf)
+
+            def mini(carry, batch):
+                params, opt_state = carry
+                (loss, aux), grads = grad_fn(params, batch)
+                if axis_name is not None:
+                    grads = jax.lax.pmean(grads, axis_name)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, *aux)
+
+            carry, metrics = jax.lax.scan(mini, (params, opt_state), mb)
+            return carry, metrics
+
+        (params, opt_state), metrics = jax.lax.scan(
+            epoch, (ts.params, ts.opt_state),
+            jax.random.split(k_perm, cfg.epochs))
+
+        loss, pg, vf, ent = (m.mean() for m in metrics)
+        mean_rew = traj.reward.mean()
+        episodes = traj.done.sum()
+        if axis_name is not None:
+            loss, pg, vf, ent, mean_rew = (
+                jax.lax.pmean(x, axis_name) for x in (loss, pg, vf, ent, mean_rew))
+            episodes = jax.lax.psum(episodes, axis_name)
+        out = ts.replace(params=params, opt_state=opt_state,
+                         env_states=env_states, key=key,
+                         update_idx=ts.update_idx + 1)
+        return out, {"loss": loss, "pg_loss": pg, "vf_loss": vf,
+                     "entropy": ent, "mean_reward": mean_rew,
+                     "episodes": episodes}
+
+    def policy_fn(params, obs, mask):
+        return net.apply(params, obs, mask)
+
+    return init_fn, update_fn, policy_fn
+
+
+def sim_env_hooks() -> EnvHooks:
+    """Hooks for the single-blind SimEnv (BASELINE config 1)."""
+    from balatro_gym_tpu.engine import sim_env
+
+    return EnvHooks(
+        reset=sim_env.reset,
+        step_autoreset=sim_env.step_autoreset,
+        observe=sim_env.observe,
+        action_mask=sim_env.action_mask,
+        n_actions=10,
+        obs_dim=sim_env.OBS_DIM,
+    )
+
+
+def train(num_updates: int = 16, cfg: PPOConfig | None = None, seed: int = 0,
+          hooks: EnvHooks | None = None, log_every: int = 0):
+    """Single-chip training entry point. Returns (TrainState, last metrics)."""
+    cfg = cfg or PPOConfig()
+    hooks = hooks or sim_env_hooks()
+    init_fn, update_fn, _ = make_ppo(hooks, cfg)
+    ts = init_fn(jax.random.key(seed))
+    step = jax.jit(functools.partial(update_fn, axis_name=None))
+    metrics = None
+    for i in range(num_updates):
+        ts, metrics = step(ts)
+        if log_every and (i + 1) % log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            print(f"update {i + 1}: {m}")
+    return ts, metrics

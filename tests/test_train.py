@@ -1,0 +1,68 @@
+"""PPO learner: single-chip update, data-parallel shard_map update, and
+replicated-parameter invariants on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from balatro_gym_tpu.parallel.mesh import make_distributed_ppo, make_mesh
+from balatro_gym_tpu.train.ppo import PPOConfig, make_ppo, sim_env_hooks, train
+
+TINY = PPOConfig(n_envs=16, rollout_len=4, epochs=2, minibatches=2, hidden=(32,))
+
+
+def test_single_chip_update_runs():
+    ts, metrics = train(num_updates=2, cfg=TINY)
+    assert int(ts.update_idx) == 2
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["entropy"]) > 0
+
+
+def test_update_changes_params_and_is_deterministic():
+    hooks = sim_env_hooks()
+    init_fn, update_fn, _ = make_ppo(hooks, TINY)
+    step = jax.jit(update_fn)
+    ts0 = init_fn(jax.random.key(0))
+    ts1, m1 = step(ts0)
+    ts1b, m1b = step(init_fn(jax.random.key(0)))
+    # Deterministic: same seed, same result.
+    assert float(m1["loss"]) == float(m1b["loss"])
+    # Params actually moved.
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), ts0.params, ts1.params)
+    assert max(jax.tree.leaves(diff)) > 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_distributed_update_keeps_params_replicated():
+    mesh = make_mesh(8)
+    cfg = PPOConfig(n_envs=32, rollout_len=2, epochs=1, minibatches=2, hidden=(16,))
+    init_fn, step_fn, _ = make_distributed_ppo(sim_env_hooks(), cfg, mesh)
+    ts = init_fn(jax.random.key(0))
+    # Env batch is sharded over dp; params replicated.
+    assert ts.env_states.deck_rank.sharding.is_fully_replicated is False
+    p0 = jax.tree.leaves(ts.params)[0]
+    assert p0.sharding.is_fully_replicated
+    ts, metrics = step_fn(ts)
+    jax.block_until_ready(metrics)
+    assert int(ts.update_idx) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    # After the pmean'd update params must remain bit-identical across shards.
+    p = jax.tree.leaves(ts.params)[0]
+    assert p.sharding.is_fully_replicated
+    shards = [np.asarray(s.data) for s in p.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
+def test_graft_entry_contract():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    logits, value = out
+    assert logits.shape == (128, 10) and value.shape == (128,)
+    mod.dryrun_multichip(8)
