@@ -176,6 +176,8 @@ class EightCardDrawGymEnv:
         self._st = None
         self._step = jax.jit(step)
         self._reset = jax.jit(reset)
+        self._observe = jax.jit(observe)
+        self._mask = jax.jit(action_mask)
         try:
             from gymnasium import spaces
 
@@ -189,9 +191,9 @@ class EightCardDrawGymEnv:
             self.action_space = self.observation_space = None
 
     def _obs(self):
-        o = observe(self._st)
         import numpy as np
 
+        o = jax.device_get(self._observe(self._st))
         return {k: np.asarray(v) for k, v in o.items()}
 
     def reset(self, *, seed: int | None = None, options=None):
@@ -208,7 +210,7 @@ class EightCardDrawGymEnv:
             raise RuntimeError("`step()` called on terminated episode")
         import numpy as np
 
-        if not bool(np.asarray(action_mask(self._st))[int(action)]):
+        if not bool(np.asarray(self._mask(self._st))[int(action)]):
             raise ValueError(f"illegal action {action} in phase {int(self._st.phase)}")
         self._st, reward, done = self._step(self._st, jnp.int32(int(action)))
         return self._obs(), float(reward), bool(done), False, {}

@@ -234,6 +234,21 @@ def sim_env_hooks() -> EnvHooks:
     )
 
 
+def full_env_hooks() -> EnvHooks:
+    """Hooks for the flagship Discrete(60) full-game env."""
+    from balatro_gym_tpu.core.constants import Action
+    from balatro_gym_tpu.engine import full_env
+
+    return EnvHooks(
+        reset=full_env.reset,
+        step_autoreset=full_env.step_autoreset,
+        observe=full_env.observe_vector,
+        action_mask=full_env.action_mask,
+        n_actions=Action.ACTION_SPACE_SIZE,
+        obs_dim=full_env.OBS_VEC_DIM,
+    )
+
+
 def train(num_updates: int = 16, cfg: PPOConfig | None = None, seed: int = 0,
           hooks: EnvHooks | None = None, log_every: int = 0):
     """Single-chip training entry point. Returns (TrainState, last metrics)."""

