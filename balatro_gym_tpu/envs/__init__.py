@@ -8,3 +8,5 @@ from balatro_gym_tpu.envs.eight_card_draw import (  # noqa: F401
     EightCardDrawGymEnv,
     make,
 )
+from balatro_gym_tpu.envs.macro_env import BalatroMacroGymEnv  # noqa: F401
+from balatro_gym_tpu.envs.small_env import BalatroSmallGymEnv  # noqa: F401

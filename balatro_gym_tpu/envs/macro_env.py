@@ -1,0 +1,313 @@
+"""Macro-action env — ``BalatroEnvComplete`` rebuilt TPU-native.
+
+Reference: balatro_gym/balatro_env_v2.py:60-400. ``Discrete(70)``:
+
+* 0-5  play strategies (best-detected / first-5 / pair / two-pair / trips /
+  flush; fallbacks to the first k cards, :213-232),
+* 6-8  discard first 1 / first 3 / all (:258-276),
+* 10-69 shop actions in the reference ``ShopAction`` id scheme (SKIP=10,
+  REROLL=11, BUY_PACK 12+, BUY_JOKER 20+, BUY_CARD 40+, BUY_VOUCHER 60+,
+  shop.py:44-68) indexed by inventory position.
+
+Scoring runs the sim pipeline (ops.scoring.score_sim — the fixture path);
+reward = score/100, discard −0.1, invalid discard −1 (:243,269,276). A round
+is 4 hands; exhausting them advances the ante, pays ``min(ante+2,10)+ante``
+(:295-300 with the post-increment ante) and opens a shop. Episode terminates
+past ante 8 (the obs bound, :80).
+
+Dealing: the reference re-deals 8 fresh cards after every play/discard from
+its deck; we deal sequentially from a shuffled 52 and reshuffle when fewer
+than 8 remain (the reference's deck handling via BalatroGame is equivalent
+up to its own draw quirks).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from balatro_gym_tpu.core import cards as C
+from balatro_gym_tpu.engine import shop_logic as SL
+from balatro_gym_tpu.ops.hand_eval import macro_select
+from balatro_gym_tpu.ops.scoring import score_sim
+
+HAND = 8
+ACTION_SPACE_SIZE = 70
+PHASE_PLAY, PHASE_SHOP = 0, 1
+
+# ShopAction ids (shop.py:44-68)
+A_SKIP, A_REROLL = 10, 11
+A_PACK, A_JOKER, A_CARD, A_VOUCHER = 12, 20, 40, 60
+
+
+@struct.dataclass
+class MacroEnvState:
+    deck_rank: jnp.ndarray   # [52] i32
+    deck_suit: jnp.ndarray   # [52] i32
+    deck_ptr: jnp.ndarray    # i32 next card to deal
+    hand_rank: jnp.ndarray   # [8] i32
+    hand_suit: jnp.ndarray   # [8] i32
+    chips: jnp.ndarray       # i32 money ("player.chips")
+    score_total: jnp.ndarray  # i64
+    ante: jnp.ndarray        # i32
+    hands_left: jnp.ndarray  # i32
+    discards_left: jnp.ndarray  # i32
+    jokers: jnp.ndarray      # [5] i32
+    joker_n: jnp.ndarray     # i32
+    vouchers: jnp.ndarray    # u32
+    phase: jnp.ndarray       # i32
+    shop_type: jnp.ndarray   # [10] i32
+    shop_item: jnp.ndarray   # [10] i32
+    shop_cost: jnp.ndarray   # [10] i32
+    shop_n: jnp.ndarray      # i32
+    reroll_base: jnp.ndarray  # i32
+    key: jnp.ndarray
+    done: jnp.ndarray
+
+
+def _shuffled_deck(key):
+    ranks, suits = C.standard_deck_arrays()
+    perm = jax.random.permutation(key, 52)
+    return (jnp.asarray(ranks, jnp.int32)[perm],
+            jnp.asarray(suits, jnp.int32)[perm])
+
+
+def _deal(st: MacroEnvState) -> MacroEnvState:
+    """Deal a fresh 8-card hand; reshuffle when the deck runs dry."""
+    key, k_shuf = jax.random.split(st.key)
+    need_shuffle = st.deck_ptr + HAND > 52
+    new_rank, new_suit = _shuffled_deck(k_shuf)
+    deck_rank = jnp.where(need_shuffle, new_rank, st.deck_rank)
+    deck_suit = jnp.where(need_shuffle, new_suit, st.deck_suit)
+    ptr = jnp.where(need_shuffle, 0, st.deck_ptr)
+    sl = jax.lax.dynamic_slice_in_dim
+    return st.replace(
+        deck_rank=deck_rank, deck_suit=deck_suit,
+        hand_rank=sl(deck_rank, ptr, HAND),
+        hand_suit=sl(deck_suit, ptr, HAND),
+        deck_ptr=ptr + HAND, key=key,
+    )
+
+
+def reset(key) -> MacroEnvState:
+    k_deck, key = jax.random.split(key)
+    dr, ds = _shuffled_deck(k_deck)
+    st = MacroEnvState(
+        deck_rank=dr, deck_suit=ds, deck_ptr=jnp.int32(0),
+        hand_rank=jnp.zeros(HAND, jnp.int32), hand_suit=jnp.zeros(HAND, jnp.int32),
+        chips=jnp.int32(100), score_total=jnp.int64(0),
+        ante=jnp.int32(1), hands_left=jnp.int32(4), discards_left=jnp.int32(3),
+        jokers=jnp.zeros(5, jnp.int32), joker_n=jnp.int32(0),
+        vouchers=jnp.uint32(0), phase=jnp.int32(PHASE_PLAY),
+        shop_type=jnp.zeros(SL.SHOP_SLOTS, jnp.int32),
+        shop_item=jnp.zeros(SL.SHOP_SLOTS, jnp.int32),
+        shop_cost=jnp.zeros(SL.SHOP_SLOTS, jnp.int32),
+        shop_n=jnp.int32(0), reroll_base=jnp.int32(SL.REROLL_BASE),
+        key=key, done=jnp.zeros((), bool),
+    )
+    return _deal(st)
+
+
+def _end_round(st: MacroEnvState) -> MacroEnvState:
+    """Round over: ante++, blind money (post-increment ante), open shop."""
+    ante = st.ante + 1
+    blind_reward = jnp.minimum(ante + 2, 10) + ante
+    key, k_shop = jax.random.split(st.key)
+    types, items, costs, n = SL.generate_inventory(k_shop, ante, st.jokers, st.vouchers)
+    return st.replace(
+        ante=ante, chips=st.chips + blind_reward,
+        phase=jnp.int32(PHASE_SHOP),
+        shop_type=types, shop_item=items, shop_cost=costs, shop_n=n,
+        reroll_base=jnp.int32(SL.REROLL_BASE), key=key,
+        done=ante > 8,
+    )
+
+
+def _step_play(st: MacroEnvState, action):
+    valid = jnp.ones(HAND, bool)
+    # --- play macros 0-5 ---
+    sel = macro_select(st.hand_rank, st.hand_suit, valid, jnp.clip(action, 0, 5))
+    key, k_score = jax.random.split(st.key)
+    score, money_d, _ht, _mask = score_sim(
+        st.hand_rank, st.hand_suit, sel,
+        jnp.zeros(HAND, jnp.int32), jnp.zeros(HAND, jnp.int32),
+        jnp.zeros(HAND, jnp.int32), C.RANK_CHIPS[st.hand_rank],
+        st.jokers, st.hands_left, st.discards_left,
+        52 - st.deck_ptr, k_score)
+    played = st.replace(
+        chips=st.chips + score.astype(jnp.int32) + money_d,
+        score_total=st.score_total + score,
+        hands_left=st.hands_left - 1, key=key)
+    round_over = played.hands_left <= 0
+    played = jax.tree.map(
+        lambda a, b: jnp.where(round_over, a, b), _end_round(played), _deal(played))
+    r_play = score.astype(jnp.float32) / 100.0
+
+    # --- discards 6-8 ---
+    can_discard = st.discards_left > 0
+    discarded = _deal(st.replace(discards_left=st.discards_left - 1))
+    r_disc = jnp.where(can_discard, -0.1, -1.0)
+    discarded = jax.tree.map(
+        lambda a, b: jnp.where(can_discard, a, b), discarded, st)
+
+    is_play = action <= 5
+    st2 = jax.tree.map(lambda a, b: jnp.where(is_play, a, b), played, discarded)
+    reward = jnp.where(is_play, r_play, r_disc)
+    return st2, reward
+
+
+def _step_shop(st: MacroEnvState, action):
+    # skip
+    ended = st.replace(phase=jnp.int32(PHASE_PLAY),
+                       hands_left=jnp.int32(4), discards_left=jnp.int32(3))
+    ended = _deal(ended)
+
+    # reroll
+    cost, next_base = SL.reroll_charge(st.reroll_base, st.ante, st.vouchers)
+    afford = st.chips >= cost
+    key, k_shop = jax.random.split(st.key)
+    t2, i2, c2, n2 = SL.generate_inventory(k_shop, st.ante, st.jokers, st.vouchers)
+    rerolled = st.replace(chips=st.chips - cost, reroll_base=next_base,
+                          shop_type=t2, shop_item=i2, shop_cost=c2, shop_n=n2,
+                          key=key)
+    rerolled = jax.tree.map(lambda a, b: jnp.where(afford, a, b), rerolled, st)
+    r_reroll = jnp.where(afford, 0.0, -1.0)
+
+    # buy by position (verb base + idx)
+    idx = jnp.where(action >= A_VOUCHER, action - A_VOUCHER,
+                    jnp.where(action >= A_CARD, action - A_CARD,
+                              jnp.where(action >= A_JOKER, action - A_JOKER,
+                                        action - A_PACK)))
+    idx = jnp.clip(idx, 0, SL.SHOP_SLOTS - 1)
+    itype = st.shop_type[idx]
+    item = st.shop_item[idx]
+    cost_i = st.shop_cost[idx]
+    ok = (idx < st.shop_n) & (st.chips >= cost_i)
+    joker_ok = (itype != SL.IT_JOKER) | (st.joker_n < 5)
+    ok = ok & joker_ok
+    t3, i3, c3, n3 = SL.pop_item(st.shop_type, st.shop_item, st.shop_cost, st.shop_n, idx)
+    jpos = jnp.clip(st.joker_n, 0, 4)
+    bought = st.replace(
+        chips=st.chips - cost_i,
+        shop_type=t3, shop_item=i3, shop_cost=c3, shop_n=n3,
+        jokers=jnp.where(itype == SL.IT_JOKER, st.jokers.at[jpos].set(item), st.jokers),
+        joker_n=st.joker_n + jnp.where(itype == SL.IT_JOKER, 1, 0),
+        vouchers=jnp.where(itype == SL.IT_VOUCHER,
+                           st.vouchers | (jnp.uint32(1) << item.astype(jnp.uint32)),
+                           st.vouchers))
+    bought = jax.tree.map(lambda a, b: jnp.where(ok, a, b), bought, st)
+    r_buy = jnp.where(ok, 0.0, -1.0)
+
+    is_skip = action == A_SKIP
+    is_reroll = action == A_REROLL
+    is_buy = action >= A_PACK
+
+    def pick(a, b, c, d):
+        return jnp.where(is_skip, a, jnp.where(is_reroll, b, jnp.where(is_buy, c, d)))
+
+    st2 = jax.tree.map(pick, ended, rerolled, bought, st)
+    reward = pick(0.0, r_reroll, r_buy, -1.0)
+    return st2, reward
+
+
+def step(st: MacroEnvState, action):
+    action = jnp.asarray(action, jnp.int32)
+    p_st, p_r = _step_play(st, action)
+    s_st, s_r = _step_shop(st, action)
+    in_play = st.phase == PHASE_PLAY
+    # Phase-range validity.
+    valid = jnp.where(in_play, action <= 8, action >= A_SKIP)
+    nxt = jax.tree.map(lambda a, b: jnp.where(in_play, a, b), p_st, s_st)
+    reward = jnp.where(in_play, p_r, s_r)
+    nxt = jax.tree.map(lambda a, b: jnp.where(valid & ~st.done, a, b), nxt, st)
+    reward = jnp.where(st.done, 0.0, jnp.where(valid, reward, -1.0))
+    return nxt, reward.astype(jnp.float32), nxt.done
+
+
+def action_mask(st: MacroEnvState):
+    ids = jnp.arange(ACTION_SPACE_SIZE)
+    play = (ids <= 5) | ((ids >= 6) & (ids <= 8) & (st.discards_left > 0))
+    slots = jnp.arange(SL.SHOP_SLOTS)
+    afford = (slots < st.shop_n) & (st.shop_cost <= st.chips)
+    shop = jnp.zeros(ACTION_SPACE_SIZE, bool)
+    shop = shop.at[A_SKIP].set(True)
+    rcost, _ = SL.reroll_charge(st.reroll_base, st.ante, st.vouchers)
+    shop = shop.at[A_REROLL].set(st.chips >= rcost)
+    base_of = jnp.where(st.shop_type == SL.IT_PACK, A_PACK,
+                        jnp.where(st.shop_type == SL.IT_JOKER, A_JOKER,
+                                  jnp.where(st.shop_type == SL.IT_CARD, A_CARD, A_VOUCHER)))
+    aid = jnp.clip(base_of + slots, 0, ACTION_SPACE_SIZE - 1)
+    shop = shop.at[aid].max(afford)
+    return jnp.where(st.phase == PHASE_PLAY, play, shop) & ~st.done
+
+
+def observe(st: MacroEnvState):
+    """Reference obs dict (balatro_env_v2.py:79-93): sim card codes + hand
+    possibility flags."""
+    from balatro_gym_tpu.ops.hand_eval import rank_counts, suit_counts
+
+    valid = jnp.ones(HAND, bool)
+    rc = rank_counts(st.hand_rank, valid)
+    sc = suit_counts(st.hand_suit, valid)
+    return {
+        "hand": C.encode_sim(st.hand_rank, st.hand_suit).astype(jnp.int32),
+        "chips": st.chips,
+        "phase": st.phase,
+        "action_mask": action_mask(st).astype(jnp.int32),
+        "ante": st.ante,
+        "hands_left": st.hands_left,
+        "discards_left": st.discards_left,
+        "joker_slots": jnp.where(jnp.arange(5) < st.joker_n, st.jokers, -1),
+        "has_pair": jnp.any(rc == 2).astype(jnp.int32),
+        "has_two_pair": (jnp.sum(rc == 2) >= 2).astype(jnp.int32),
+        "has_three_kind": jnp.any(rc == 3).astype(jnp.int32),
+        "has_straight": jnp.zeros((), jnp.int32),  # matches ref flag logic gap
+        "has_flush": jnp.any(sc >= 5).astype(jnp.int32),
+    }
+
+
+class BalatroMacroGymEnv:
+    """Gym shell for the macro env (BalatroEnvComplete contract)."""
+
+    metadata = {"render_modes": ["human"]}
+
+    def __init__(self, *, seed: int = 0, render_mode: str | None = None):
+        self.render_mode = render_mode
+        self._seed = seed
+        self._st = None
+        self._jstep = jax.jit(step)
+        self._jreset = jax.jit(reset)
+        self._jobs = jax.jit(observe)
+        try:
+            from gymnasium import spaces
+
+            self.action_space = spaces.Discrete(ACTION_SPACE_SIZE)
+        except ImportError:  # pragma: no cover
+            self.action_space = None
+
+    def reset(self, *, seed: int | None = None, options=None):
+        if seed is not None:
+            self._seed = seed
+        self._st = self._jreset(jax.random.key(self._seed))
+        return self._obs(), {}
+
+    def step(self, action: int):
+        self._st, r, done = self._jstep(self._st, jnp.int32(int(action)))
+        return self._obs(), float(r), bool(done), False, {}
+
+    def _obs(self):
+        return {k: np.asarray(v) for k, v in
+                jax.device_get(self._jobs(self._st)).items()}
+
+    def render(self):
+        if self.render_mode != "human":
+            return
+        st = self._st
+        hand = " ".join(C.card_str(int(r), int(s))
+                        for r, s in zip(np.asarray(st.hand_rank), np.asarray(st.hand_suit)))
+        print(f"[ante {int(st.ante)} phase {int(st.phase)}] ${int(st.chips)} "
+              f"hands {int(st.hands_left)} | {hand}")
+
+    def close(self):
+        pass

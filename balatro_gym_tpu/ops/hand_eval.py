@@ -154,6 +154,54 @@ def _wheel_scan(present, can_skip, skipped_in, required):
     return wl >= required, wmask
 
 
+def macro_select(ranks, suits, valid, strategy):
+    """Card-selection mask for the macro-action env's play strategies
+    (reference: balatro_gym/balatro_env_v2.py:213-232).
+
+    strategy: 0 best-detected hand, 1 first-5, 2 pair, 3 two-pair,
+    4 three-of-a-kind, 5 flush — each falling back to the first k valid
+    cards when the pattern is absent (k = 5/5/2/4/3/5).
+    """
+    N = ranks.shape[-1]
+    pos = jnp.arange(N, dtype=jnp.int32)
+    rc = rank_counts(ranks, valid)
+    rmask = ranks.astype(jnp.int32)
+
+    def first_k(k):
+        csum = jnp.cumsum(valid.astype(jnp.int32))
+        return valid & (csum <= k)
+
+    e3, e2 = (rc == 3), (rc == 2)
+    p1 = _top_rank_where(e2)
+    p2 = _top_rank_where(e2 & (_R != p1))
+    t1 = _top_rank_where(e3)
+    has_pair = jnp.any(e2)
+    has_2pair = jnp.sum(e2) >= 2
+    has_trips = jnp.any(e3)
+
+    m_pair = jnp.where(has_pair, (rmask == p1) & valid, first_k(2))
+    m_2pair = jnp.where(has_2pair, ((rmask == p1) | (rmask == p2)) & valid, first_k(4))
+    m_trips = jnp.where(has_trips, (rmask == t1) & valid, first_k(3))
+
+    sc = suit_counts(suits, valid)
+    n = jnp.sum(valid)
+    has_flush = (n <= 5) & (jnp.max(sc) >= 5)
+    flush_suit = jnp.argmax(sc).astype(suits.dtype)
+    m_flush = jnp.where(has_flush, (suits == flush_suit) & valid, first_k(5))
+
+    _, best_mask = evaluate_sim(ranks, suits, valid)
+    m_best = jnp.where(jnp.any(best_mask), best_mask, first_k(5))
+
+    strategy = jnp.asarray(strategy)
+    mask = jnp.where(strategy == 0, m_best,
+                     jnp.where(strategy == 1, first_k(5),
+                               jnp.where(strategy == 2, m_pair,
+                                         jnp.where(strategy == 3, m_2pair,
+                                                   jnp.where(strategy == 4, m_trips,
+                                                             m_flush)))))
+    return mask
+
+
 def evaluate_sim(ranks, suits, valid, four_fingers=False, shortcut=False):
     """Top hand type + scoring-card mask per ``evaluate_hand``.
 
