@@ -35,8 +35,7 @@ RNG: named streams over jax.random (core.rng). Draw-count parity with
 CPython's Mersenne streams is impossible and not required; within this
 engine, same seed ⇒ bit-identical trajectories.
 
-Boss blinds: selection/activation wiring is in place (chip mult, activation
-modifications); per-hand boss effects land with ops/boss.py (SURVEY step 6).
+See PARITY.md for the complete quirk/deviation ledger.
 """
 from __future__ import annotations
 

@@ -52,6 +52,11 @@ def _train_state_specs(ts: TrainState, axis: str) -> TrainState:
         env_states=jax.tree.map(lambda _: P(axis), ts.env_states),
         key=P(),
         update_idx=P(),
+        # Normalization stats are pmean-merged inside the update, so they
+        # stay replicated; the per-env return carry shards with the envs.
+        obs_stats=jax.tree.map(lambda _: P(), ts.obs_stats),
+        ret_stats=jax.tree.map(lambda _: P(), ts.ret_stats),
+        ret_carry=P(axis),
     )
 
 

@@ -26,6 +26,8 @@ import optax
 from flax import struct
 
 from balatro_gym_tpu.train.networks import ActorCritic
+from balatro_gym_tpu.train.normalize import (
+    RunningStats, init_stats, normalize, normalize_reward, update_stats)
 
 
 class EnvHooks(NamedTuple):
@@ -53,6 +55,9 @@ class PPOConfig:
     vf_coef: float = 0.5
     max_grad_norm: float = 0.5
     hidden: tuple = (256, 256)
+    # VecNormalize-equivalent running normalization (hpc_train.py:68-72).
+    normalize_obs: bool = True
+    normalize_reward: bool = True
 
 
 @struct.dataclass
@@ -62,6 +67,9 @@ class TrainState:
     env_states: Any      # batched env pytree [n_envs, ...]
     key: jnp.ndarray
     update_idx: jnp.ndarray
+    obs_stats: Any       # RunningStats over observations
+    ret_stats: Any       # RunningStats over discounted returns (reward scale)
+    ret_carry: jnp.ndarray  # [n_envs] running discounted return
 
 
 class Transition(NamedTuple):
@@ -96,10 +104,14 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
         return TrainState(
             params=params, opt_state=tx.init(params), env_states=env_states,
             key=k_run, update_idx=jnp.int32(0),
+            obs_stats=init_stats(hooks.obs_dim), ret_stats=init_stats(),
+            ret_carry=jnp.zeros(cfg.n_envs, jnp.float32),
         )
 
-    def _policy_step(params, env_states, key):
+    def _policy_step(params, env_states, key, obs_stats):
         obs = jax.vmap(hooks.observe)(env_states)
+        if cfg.normalize_obs:
+            obs = normalize(obs_stats, obs)
         mask = jax.vmap(hooks.action_mask)(env_states)
         logits, value = net.apply(params, obs, mask)
         action = jax.random.categorical(key, logits)
@@ -107,19 +119,23 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
             jax.nn.log_softmax(logits), action[:, None], axis=-1)[:, 0]
         return obs, mask, action, log_prob, value
 
-    def _rollout(params, env_states, key):
+    def _rollout(params, env_states, key, obs_stats, ret_stats, ret_carry):
         def body(carry, k):
-            env_states = carry
+            env_states, ret_carry = carry
             k_act, k_step = jax.random.split(k)
-            obs, mask, action, log_prob, value = _policy_step(params, env_states, k_act)
+            obs, mask, action, log_prob, value = _policy_step(
+                params, env_states, k_act, obs_stats)
             env_states, reward, done = jax.vmap(hooks.step_autoreset)(env_states, action)
-            t = Transition(obs, mask, action, log_prob, value,
-                           reward.astype(jnp.float32), done)
-            return env_states, t
+            reward = reward.astype(jnp.float32)
+            ret_carry = ret_carry * cfg.gamma * (1.0 - done.astype(jnp.float32)) + reward
+            train_reward = (normalize_reward(ret_stats, reward)
+                            if cfg.normalize_reward else reward)
+            t = Transition(obs, mask, action, log_prob, value, train_reward, done)
+            return (env_states, ret_carry), (t, reward, ret_carry)
 
-        env_states, traj = jax.lax.scan(
-            body, env_states, jax.random.split(key, cfg.rollout_len))
-        return env_states, traj  # traj leaves: [T, n_envs, ...]
+        (env_states, ret_carry), (traj, raw_rewards, rets) = jax.lax.scan(
+            body, (env_states, ret_carry), jax.random.split(key, cfg.rollout_len))
+        return env_states, traj, raw_rewards, rets, ret_carry
 
     def _gae(traj: Transition, last_value):
         def body(carry, t):
@@ -167,9 +183,20 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
             idx = jax.lax.axis_index(axis_name)
             k_roll = jax.random.fold_in(k_roll, idx)
             k_perm = jax.random.fold_in(k_perm, idx)
-        env_states, traj = _rollout(ts.params, ts.env_states, k_roll)
+        env_states, traj, raw_rewards, rets, ret_carry = _rollout(
+            ts.params, ts.env_states, k_roll, ts.obs_stats, ts.ret_stats,
+            ts.ret_carry)
+
+        # VecNormalize-style stat refresh (pmean-merged across shards).
+        obs_stats = (update_stats(ts.obs_stats,
+                                  traj.obs.reshape(-1, hooks.obs_dim), axis_name)
+                     if cfg.normalize_obs else ts.obs_stats)
+        ret_stats = (update_stats(ts.ret_stats, rets.reshape(-1), axis_name)
+                     if cfg.normalize_reward else ts.ret_stats)
 
         last_obs = jax.vmap(hooks.observe)(env_states)
+        if cfg.normalize_obs:
+            last_obs = normalize(ts.obs_stats, last_obs)
         last_mask = jax.vmap(hooks.action_mask)(env_states)
         _, last_value = net.apply(ts.params, last_obs, last_mask)
         adv, ret = _gae(traj, last_value)
@@ -201,7 +228,7 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
             jax.random.split(k_perm, cfg.epochs))
 
         loss, pg, vf, ent = (m.mean() for m in metrics)
-        mean_rew = traj.reward.mean()
+        mean_rew = raw_rewards.mean()
         episodes = traj.done.sum()
         if axis_name is not None:
             loss, pg, vf, ent, mean_rew = (
@@ -209,7 +236,9 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
             episodes = jax.lax.psum(episodes, axis_name)
         out = ts.replace(params=params, opt_state=opt_state,
                          env_states=env_states, key=key,
-                         update_idx=ts.update_idx + 1)
+                         update_idx=ts.update_idx + 1,
+                         obs_stats=obs_stats, ret_stats=ret_stats,
+                         ret_carry=ret_carry)
         return out, {"loss": loss, "pg_loss": pg, "vf_loss": vf,
                      "entropy": ent, "mean_reward": mean_rew,
                      "episodes": episodes}

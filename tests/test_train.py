@@ -39,7 +39,7 @@ def test_distributed_update_keeps_params_replicated():
     init_fn, step_fn, _ = make_distributed_ppo(sim_env_hooks(), cfg, mesh)
     ts = init_fn(jax.random.key(0))
     # Env batch is sharded over dp; params replicated.
-    assert ts.env_states.deck_rank.sharding.is_fully_replicated is False
+    assert ts.env_states.hand_rank.sharding.is_fully_replicated is False
     p0 = jax.tree.leaves(ts.params)[0]
     assert p0.sharding.is_fully_replicated
     ts, metrics = step_fn(ts)
