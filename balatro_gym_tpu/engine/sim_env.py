@@ -125,7 +125,8 @@ def step(st: SimEnvState, select, is_discard):
     key, sub = jax.random.split(st.key)
 
     # --- play branch (always computed; selected at the end) ---
-    base_value = C.RANK_CHIPS[st.hand_rank]
+    base_value = ((st.hand_rank[:, None] == jnp.arange(15)).astype(jnp.float32)
+                  @ C.RANK_CHIPS.astype(jnp.float32)).astype(jnp.int32)
     delta, money_d, _ht, _smask = score_sim(
         st.hand_rank, st.hand_suit, select, st.hand_enh,
         jnp.zeros(HAND_SIZE, jnp.int32), jnp.zeros(HAND_SIZE, jnp.int32),

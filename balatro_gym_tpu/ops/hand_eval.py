@@ -247,13 +247,15 @@ def evaluate_sim(ranks, suits, valid, four_fingers=False, shortcut=False):
 
     # Straight scoring mask = t[:required]: cards of run ranks, ordered by
     # (descending rank | wheel order), position ascending; first `req_s` kept.
-    in_main = s_tmask[ranks] & valid
-    in_wheel = w_tmask[ranks] & valid
+    # Per-card rank lookups as masked any-reductions (gather-free).
+    r_eq = ranks[:, None] == _R                        # [N,15]
+    in_main = jnp.any(r_eq & s_tmask, axis=-1) & valid
+    in_wheel = jnp.any(r_eq & w_tmask, axis=-1) & valid
     in_t = jnp.where(use_wheel, in_wheel, in_main)
     # Order keys (smaller = earlier in t).
     wheel_order = jnp.array([99, 99, 1, 2, 3, 4, 99, 99, 99, 99, 99, 99, 99, 99, 0], dtype=jnp.int32)
     key_main = (14 - ranks.astype(jnp.int32)) * N + pos
-    key_wheel = wheel_order[ranks] * N + pos
+    key_wheel = jnp.sum(jnp.where(r_eq, wheel_order, 0), axis=-1) * N + pos
     key = jnp.where(use_wheel, key_wheel, key_main)
     key = jnp.where(in_t, key, jnp.int32(10_000))
     order = jnp.sum(key[:, None] > key[None, :], axis=-1)  # rank of each key

@@ -187,6 +187,25 @@ def _hand_tables(names):
 _chips_hand_env, _mult_hand_env, _x_hand_env = _hand_tables(ENV_HAND_NAMES)
 _chips_hand_sim, _mult_hand_sim, _x_hand_sim = _hand_tables(SIM_HAND_NAMES)
 
+
+def _xmult_exponents(x):
+    """Decompose x-mult tables with values in {1,2,3,4} into integer
+    exponents of the exact bases 2 and 3 (4 = 2²), so products become
+    ``2**e2 * 3**e3`` — bit-exact floats, no gathers, no logs."""
+    e2 = np.zeros(x.shape, np.int32)
+    e3 = np.zeros(x.shape, np.int32)
+    e2[x == 2.0] = 1
+    e2[x == 4.0] = 2
+    e3[x == 3.0] = 1
+    assert np.all(np.isin(x, (1.0, 2.0, 3.0, 4.0))), "unsupported x-mult base"
+    return e2, e3
+
+
+_x2_hand_env, _x3_hand_env = _xmult_exponents(_x_hand_env)
+_x2_hand_sim, _x3_hand_sim = _xmult_exponents(_x_hand_sim)
+_x3_flat = np.zeros(NUM_JOKERS, np.int32)
+_x3_flat[J_CAVENDISH] = 1  # x_flat's only non-1 entry (3.0)
+
 # Flag columns for conditional / stochastic jokers.
 def _flag(*ids):
     f = np.zeros(NUM_JOKERS, bool)
@@ -239,6 +258,11 @@ class JokerTables:
         self.chips_hand_sim = as_j(_chips_hand_sim)
         self.mult_hand_sim = as_j(_mult_hand_sim)
         self.x_hand_sim = as_j(_x_hand_sim)
+        self.x2_hand_env = as_j(_x2_hand_env)
+        self.x3_hand_env = as_j(_x3_hand_env)
+        self.x2_hand_sim = as_j(_x2_hand_sim)
+        self.x3_hand_sim = as_j(_x3_hand_sim)
+        self.x3_flat = as_j(_x3_flat)
         self.is_half = as_j(_IS_HALF)
         self.is_abstract = as_j(_IS_ABSTRACT)
         self.is_acrobat = as_j(_IS_ACROBAT)

@@ -57,84 +57,105 @@ def _suit_onehot(suits, mask, num_cats=5):
 
 
 def _joker_pass(t: JT.JokerTables, jokers, ranks, suits, smask, valid, ht,
-                hand_table_chips, hand_table_mult, hand_table_x,
+                hand_table_chips, hand_table_mult, x2_hand, x3_hand,
                 hands_left, discards_left, deck_size, key):
     """Shared joker effect computation (individual + main scoring phases).
 
     ``suits`` are suit categories 0..4 (4 = Stone in the env view). Returns
-    (chips_add i64, mult_add i64, x_mult f, money i32, key consumption is
-    internal via the passed key).
+    (chips_add i64, mult_add i64, x_mult f, money i32).
+
+    TPU-first formulation: NO data-dependent gathers. The joker hand becomes
+    a multi-hot count vector j[151]; every additive table effect is
+    ``histogram · (j @ table)`` (small matmuls, exact for ints in f32), and
+    every multiplicative effect is an integer-exponent power of an exact base
+    (2 / 1.5 / 3), so float results are bit-identical to the per-entity
+    product. Profiling showed the previous gather formulation lowered to
+    serialized dynamic-slices on TPU and dominated the whole env step.
     """
+    f32 = jnp.float32
     jvalid = jokers > 0
     njok = jnp.sum(jvalid).astype(jnp.int32)
-    A = jnp.asarray  # numpy tables -> trace constants
+    A = jnp.asarray
 
-    # ---- individual scoring: [J, C] gathers, masked reduce ----
-    jr = A(t.ind_chip_rank)[jokers][:, ranks]        # [J, C]
-    jm = A(t.ind_mult_rank)[jokers][:, ranks]
-    jxr = A(t.ind_x_rank)[jokers][:, ranks]
-    jcs = A(t.ind_chip_suit)[jokers][:, suits]
-    jms = A(t.ind_mult_suit)[jokers][:, suits]
-    jmoney = A(t.ind_money_suit)[jokers][:, suits]
-    m2 = (jvalid[:, None] & smask[None, :])
-    chips = jnp.sum(jnp.where(m2, jr + jcs, 0)).astype(jnp.int64)
-    mult = jnp.sum(jnp.where(m2, jm + jms, 0)).astype(jnp.int64)
-    x = jnp.prod(jnp.where(m2, jxr, 1.0).astype(_F))
-    money = jnp.sum(jnp.where(m2, jmoney, 0)).astype(jnp.int32)
+    # Multi-hot joker counts [151] (row 0 = empty slots; all tables/flag
+    # reads at index 0 are zero so it is harmless).
+    j151 = jnp.sum(
+        (jokers[:, None] == jnp.arange(JT.NUM_JOKERS)) & jvalid[:, None],
+        axis=0).astype(f32)
 
-    # Bloodstone: 50% x2 per scoring Heart per Bloodstone joker
+    def jdot(table):  # Σ_j table[j, :] over held jokers -> [K] f32
+        return j151 @ A(table).astype(f32)
+
+    def cnt(jid):  # how many of joker `jid` are held (0/1 in practice)
+        return j151[jid]
+
+    # Histograms of scoring cards (exact small ints in f32).
+    r_oh = (ranks[:, None] == jnp.arange(15)).astype(f32)        # [C,15]
+    s_oh = (suits[:, None] == jnp.arange(JT.NUM_SUIT_CATS)).astype(f32)
+    sm = smask.astype(f32)
+    rank_hist = sm @ r_oh                                        # [15]
+    suit_hist = sm @ s_oh                                        # [5]
+    ht_oh = (ht == jnp.arange(12)).astype(f32)                   # [12]
+
+    # ---- individual scoring: histogram · (j @ table) ----
+    chips_f = rank_hist @ jdot(t.ind_chip_rank) + suit_hist @ jdot(t.ind_chip_suit)
+    mult_f = rank_hist @ jdot(t.ind_mult_rank) + suit_hist @ jdot(t.ind_mult_suit)
+    money_f = suit_hist @ jdot(t.ind_money_suit)
+
+    # Triboulet (the only ind_x entry): ×2 per scoring Q/K per copy.
+    qk = rank_hist[12] + rank_hist[13]
+    e2 = cnt(JT.J_TRIBOULET) * qk
+
+    # Bloodstone: 50% ×2 per (joker, scoring Heart) pair
     # (complete_joker_effects.py:161).
     kb, km = jax.random.split(key)
-    blood = A(t.is_bloodstone)[jokers][:, None] & m2 & (suits == 2)[None, :]
-    coin = jax.random.uniform(kb, blood.shape) < 0.5
-    x = x * jnp.prod(jnp.where(blood & coin, 2.0, 1.0).astype(_F))
+    blood_j = (jokers == JT.J_BLOODSTONE) & jvalid
+    hearts = smask & (suits == 2)
+    coin = jax.random.uniform(kb, (MAX_JOKERS, ranks.shape[-1])) < 0.5
+    e2 = e2 + jnp.sum((blood_j[:, None] & hearts[None, :] & coin).astype(f32))
 
     # ---- main scoring ----
-    jid = jokers
     n_scoring = jnp.sum(smask).astype(jnp.int32)
-    chips_main = (
-        A(t.chips_flat)[jid]
-        + A(hand_table_chips)[jid, ht]
-        + jnp.where(A(t.is_banner)[jid], 30 * discards_left, 0)
-        + jnp.where(A(t.is_blue)[jid], 2 * deck_size, 0)
-    )
-    # Misprint: +randint(0,23) mult (complete_joker_effects.py:42); the
-    # reference draws from the unseeded global `random`, so only same-seed
-    # self-determinism is reproducible — we draw from the joker_effects key.
-    misprint = jax.random.randint(km, (MAX_JOKERS,), 0, 24)
-    scoring_suits = _suit_onehot(suits, smask & valid)
-    suit_mult = jnp.sum(A(t.mult_if_suit)[jid] * scoring_suits[None, :], axis=1)
-    nqueens = jnp.sum(valid & (ranks == 12)).astype(jnp.int32)
-    nkings = jnp.sum(valid & (ranks == 13)).astype(jnp.int32)
-    mult_main = (
-        A(t.mult_flat)[jid]
-        + A(hand_table_mult)[jid, ht]
-        + jnp.where(A(t.is_abstract)[jid], 3 * njok, 0)
-        + jnp.where(A(t.is_mystic)[jid] & (discards_left == 0), 15, 0)
-        + jnp.where(A(t.is_half)[jid] & (n_scoring <= 3), 20, 0)
-        + jnp.where(A(t.is_misprint)[jid], misprint, 0)
-        + suit_mult
-        + jnp.where(A(t.is_shoot_moon)[jid] & (nqueens > 0), 13 * nqueens, 0)
-    )
-    # x-mult conditions
+    chips_f += (jnp.sum(jdot(t.chips_flat))
+                + ht_oh @ jdot(hand_table_chips)
+                + cnt(JT.J_BANNER) * 30 * discards_left.astype(f32)
+                + cnt(JT.J_BLUE_JOKER) * 2 * deck_size.astype(f32))
+
+    # Misprint: +randint(0,23) (complete_joker_effects.py:42). The reference
+    # draws from the unseeded global `random`; one draw per held copy (>1
+    # copy cannot occur through the shop).
+    misprint = jax.random.randint(km, (), 0, 24).astype(f32)
+    present5 = (suit_hist > 0).astype(f32)
+    nqueens = jnp.sum(valid & (ranks == 12)).astype(f32)
+    nkings = jnp.sum(valid & (ranks == 13)).astype(f32)
+    mult_f += (jnp.sum(jdot(t.mult_flat))
+               + ht_oh @ jdot(hand_table_mult)
+               + cnt(JT.J_ABSTRACT) * 3 * njok.astype(f32)
+               + cnt(JT.J_MYSTIC_SUMMIT) * jnp.where(discards_left == 0, 15.0, 0.0)
+               + cnt(JT.J_HALF) * jnp.where(n_scoring <= 3, 20.0, 0.0)
+               + cnt(JT.J_MISPRINT) * misprint
+               + present5 @ jdot(t.mult_if_suit)
+               + cnt(JT.J_SHOOT_THE_MOON) * 13 * nqueens)
+
+    # ---- x-mult: integer exponents of exact bases ----
     all_spade_club = jnp.all(~valid | (suits == 3) | (suits == 0))
-    seeing = scoring_suits[0] & (jnp.sum(scoring_suits) > 1)
+    seeing = (present5[0] > 0) & (jnp.sum(present5) > 1)
     # Flower Pot: exactly 4 distinct suit *strings* among scoring cards — the
     # reference's set includes 'Stone' as its own member (bug-faithful).
-    flower = jnp.sum(scoring_suits) == 4
-    x_main = (
-        A(t.x_flat)[jid].astype(_F)
-        * A(hand_table_x)[jid, ht].astype(_F)
-        * jnp.where(A(t.is_acrobat)[jid] & (hands_left == 1), 3.0, 1.0)
-        * jnp.where(A(t.is_blackboard)[jid] & all_spade_club, 3.0, 1.0)
-        * jnp.where(A(t.is_seeing_double)[jid] & seeing, 2.0, 1.0)
-        * jnp.where(A(t.is_flower_pot)[jid] & flower, 3.0, 1.0)
-        * jnp.where(A(t.is_baron)[jid] & (nkings > 0), 1.5 ** nkings.astype(_F), 1.0)
-    )
-    chips += jnp.sum(jnp.where(jvalid, chips_main, 0)).astype(jnp.int64)
-    mult += jnp.sum(jnp.where(jvalid, mult_main, 0)).astype(jnp.int64)
-    x = x * jnp.prod(jnp.where(jvalid, x_main, 1.0))
-    return chips, mult, x, money
+    flower = jnp.sum(present5) == 4
+    e2 = e2 + ht_oh @ jdot(x2_hand) + cnt(JT.J_SEEING_DOUBLE) * seeing
+    e3 = (ht_oh @ jdot(x3_hand)
+          + jnp.sum(jdot(t.x3_flat))
+          + cnt(JT.J_ACROBAT) * (hands_left == 1)
+          + cnt(JT.J_BLACKBOARD) * all_spade_club
+          + cnt(JT.J_FLOWER_POT) * flower)
+    e15 = cnt(JT.J_BARON) * nkings
+    x = (jnp.asarray(2.0, _F) ** e2.astype(_F)
+         * jnp.asarray(3.0, _F) ** e3.astype(_F)
+         * jnp.asarray(1.5, _F) ** e15.astype(_F))
+
+    return (chips_f.astype(jnp.int64), mult_f.astype(jnp.int64), x,
+            money_f.astype(jnp.int32))
 
 
 def score_sim(ranks, suits, valid, enh, ed, seal, base_value, jokers,
@@ -163,14 +184,24 @@ def score_sim(ranks, suits, valid, enh, ed, seal, base_value, jokers,
     chips += jnp.sum(jnp.where(smask, base_value, 0)).astype(jnp.int64)
 
     # Card enhancements / editions / seals, sim semantics
-    # (balatro_sim.py:455-488): applied BEFORE jokers.
-    chips += jnp.sum(jnp.where(smask, C.ENH_CHIPS[enh] + C.ED_CHIPS[ed], 0)).astype(jnp.int64)
-    add = jnp.sum(jnp.where(smask, C.ENH_MULT[enh] + C.ED_MULT[ed], 0)).astype(jnp.int64)
-    x = jnp.prod(jnp.where(smask, SIM_ENH_XMULT[enh] * C.ED_XMULT[ed].astype(_F), 1.0))
-    money = jnp.sum(
-        jnp.where(smask, jnp.where(enh == C.Enhancement.GOLD, 3, 0)
-                  + jnp.where(seal == C.Seal.GOLD, 3, 0), 0)
-    ).astype(jnp.int32)
+    # (balatro_sim.py:455-488): applied BEFORE jokers. Gather-free: masked
+    # histograms dotted with the static tables; x-mults as exact-base powers
+    # (glass ×2, steel/poly ×1.5).
+    f32 = jnp.float32
+    sm = smask.astype(f32)
+    enh_hist = sm @ (enh[:, None] == jnp.arange(9)).astype(f32)
+    ed_hist = sm @ (ed[:, None] == jnp.arange(5)).astype(f32)
+    chips += (enh_hist @ C.ENH_CHIPS.astype(f32)
+              + ed_hist @ C.ED_CHIPS.astype(f32)).astype(jnp.int64)
+    add = (enh_hist @ C.ENH_MULT.astype(f32)
+           + ed_hist @ C.ED_MULT.astype(f32)).astype(jnp.int64)
+    n_glass = enh_hist[C.Enhancement.GLASS]
+    n_15 = enh_hist[C.Enhancement.STEEL] + ed_hist[C.Edition.POLYCHROME]
+    x = (jnp.asarray(2.0, _F) ** n_glass.astype(_F)
+         * jnp.asarray(1.5, _F) ** n_15.astype(_F))
+    n_gold_seal = jnp.sum(smask & (seal == C.Seal.GOLD))
+    money = (3 * (enh_hist[C.Enhancement.GOLD].astype(jnp.int32)
+                  + n_gold_seal.astype(jnp.int32)))
     # Lucky: +$1 at 20% per scoring lucky card (balatro_sim.py:473-474).
     k_lucky, k_jok = jax.random.split(key)
     lucky_roll = jax.random.uniform(k_lucky, valid.shape) < 0.2
@@ -178,7 +209,7 @@ def score_sim(ranks, suits, valid, enh, ed, seal, base_value, jokers,
 
     jc, jm, jx, jmoney = _joker_pass(
         t, jokers, ranks, suits, smask, valid, ht,
-        t.chips_hand_sim, t.mult_hand_sim, t.x_hand_sim,
+        t.chips_hand_sim, t.mult_hand_sim, t.x2_hand_sim, t.x3_hand_sim,
         hands_left, discards_left, deck_size, k_jok,
     )
     chips += jc
@@ -214,9 +245,14 @@ def score_env_unified(ranks, suits, valid, enh, ed, levels, jokers,
 
     # chip_value(): rank chips + enhancement chips + edition chips
     # (cards.py:262-267). The ONLY card-modifier contribution in this path.
-    chips += jnp.sum(
-        jnp.where(smask, C.RANK_CHIPS[ranks] + C.ENH_CHIPS[enh] + C.ED_CHIPS[ed], 0)
-    ).astype(jnp.int64)
+    f32 = jnp.float32
+    sm = smask.astype(f32)
+    rank_hist = sm @ (ranks[:, None] == jnp.arange(15)).astype(f32)
+    enh_hist = sm @ (enh[:, None] == jnp.arange(9)).astype(f32)
+    ed_hist = sm @ (ed[:, None] == jnp.arange(5)).astype(f32)
+    chips += (rank_hist @ C.RANK_CHIPS.astype(f32)
+              + enh_hist @ C.ENH_CHIPS.astype(f32)
+              + ed_hist @ C.ED_CHIPS.astype(f32)).astype(jnp.int64)
 
     # Scoring view for joker per-card conditions (stone: rank 0, suit cat 4).
     stone = enh == C.Enhancement.STONE
@@ -225,7 +261,7 @@ def score_env_unified(ranks, suits, valid, enh, ed, levels, jokers,
 
     jc, jm, jx, _jmoney = _joker_pass(
         t, jokers, view_ranks, view_suits, smask, valid, ht,
-        t.chips_hand_env, t.mult_hand_env, t.x_hand_env,
+        t.chips_hand_env, t.mult_hand_env, t.x2_hand_env, t.x3_hand_env,
         hands_left, discards_left, deck_size, key,
     )
     # Joker money is discarded in this path (written to a throwaway dict,
