@@ -108,12 +108,16 @@ def _first_k_selected(sel, k):
     return sel & (csum <= k)
 
 
+def _hand_to_deck_mask(st, mask_hand):
+    """[64] bool from a hand-position mask (one-hot matmul, no scatter)."""
+    fe = _fe()
+    H = fe._hand_onehot(st)[:mask_hand.shape[0]]
+    return (mask_hand.astype(jnp.float32) @ H) > 0
+
+
 def _apply_card_channel(st, sel_mask, table, value):
     """Write `value` into per-deck-slot channel `table` at selected slots."""
-    fe = _fe()
-    slots = jnp.where(sel_mask, jnp.clip(st.hand_idx[:fe.SEL], 0, fe.MAX_DECK - 1), 0)
-    upd = jnp.zeros(fe.MAX_DECK, bool).at[slots].max(sel_mask)
-    return jnp.where(upd, value, table)
+    return jnp.where(_hand_to_deck_mask(st, sel_mask), value, table)
 
 
 def _append_cons(cons, cons_n, value, gate):
@@ -130,7 +134,8 @@ def _destroy_slots(st, kill64):
     the reference never draws after consumable destruction)."""
     fe = _fe()
     alive = st.card_alive & ~kill64
-    in_hand_dead = kill64[jnp.clip(st.hand_idx, 0, fe.MAX_DECK - 1)] & (st.hand_idx >= 0)
+    H10 = fe._hand_onehot(st)
+    in_hand_dead = (H10 @ kill64.astype(jnp.float32)) > 0
     st = st.replace(card_alive=alive)
     return fe._remove_hand_positions(st, in_hand_dead)
 
@@ -142,9 +147,10 @@ def _create_cards(st, n, ranks_n, suits_n, enh_n):
     free = ~st.card_alive
     csum = jnp.cumsum(free.astype(jnp.int32))
     take = free & (csum <= n)  # first free slots ascending
-    # k-th created card goes to the k-th free slot.
-    ordinal = jnp.where(take, csum - 1, 0)
-    pick = lambda vals: vals[jnp.clip(ordinal, 0, vals.shape[0] - 1)]
+    # k-th created card goes to the k-th free slot (one-hot pick, no gather).
+    ordinal = jnp.where(take, csum - 1, n)
+    O = (ordinal[:, None] == jnp.arange(4)).astype(jnp.float32)  # [64,4]
+    pick = lambda vals: (O @ vals.astype(jnp.float32)).astype(jnp.int32)
     return st.replace(
         card_rank=jnp.where(take, pick(ranks_n), st.card_rank),
         card_suit=jnp.where(take, pick(suits_n), st.card_suit),
@@ -319,9 +325,7 @@ def use_consumable(st, idx):
     # Hanged Man: destroy up to 2 selected.
     do_hang = (cid == HANGED_MAN) & (n_sel >= 1)
     hang_tgt = _first_k_selected(sel, 2)
-    kill64 = jnp.zeros(fe.MAX_DECK, bool).at[
-        jnp.where(hang_tgt, jnp.clip(st.hand_idx[:fe.SEL], 0, fe.MAX_DECK - 1), 0)
-    ].max(hang_tgt)
+    kill64 = _hand_to_deck_mask(st, hang_tgt)
     hanged = _destroy_slots(st, kill64)
     st = jax.tree.map(lambda a, b: jnp.where(do_hang, a, b), hanged, st)
     reward += jnp.where(do_hang, 2.0 * jnp.sum(hang_tgt).astype(F), 0.0)
@@ -338,9 +342,7 @@ def use_consumable(st, idx):
     )(jax.random.split(k4, 4))
     suit_pool = jax.random.randint(jax.random.fold_in(k4, 9), (4,), 0, 4, dtype=jnp.int32)
     enh_pool = ENH_POOL7[jax.random.randint(jax.random.fold_in(k4, 10), (4,), 0, 7, dtype=jnp.int32)]
-    kill1 = jnp.zeros(fe.MAX_DECK, bool).at[
-        jnp.where(tgt_seal, jnp.clip(st.hand_idx[:fe.SEL], 0, fe.MAX_DECK - 1), 0)
-    ].max(tgt_seal)
+    kill1 = _hand_to_deck_mask(st, tgt_seal)
     fgi_st = _create_cards(_destroy_slots(st, kill1), n_create,
                            rank_pool, suit_pool, enh_pool)
     st = jax.tree.map(lambda a, b: jnp.where(do_fgi, a, b), fgi_st, st)
@@ -351,9 +353,8 @@ def use_consumable(st, idx):
     do_sigil = (cid == SIGIL) & (st.hand_n > 0)
     conv_suit = jax.random.randint(k3, (), 0, 4, dtype=jnp.int32)
     conv_rank = 2 + jax.random.randint(k3, (), 0, 13, dtype=jnp.int32)
-    hand_mask64 = jnp.zeros(fe.MAX_DECK, bool).at[
-        jnp.clip(st.hand_idx, 0, fe.MAX_DECK - 1)
-    ].max(jnp.arange(fe.MAX_HAND) < st.hand_n)
+    hand_mask64 = _hand_to_deck_mask(
+        st, jnp.arange(fe.MAX_HAND) < st.hand_n)
     st = st.replace(
         card_suit=jnp.where(do_sigil & hand_mask64, conv_suit, st.card_suit),
         card_rank=jnp.where(do_ouija & hand_mask64, conv_rank, st.card_rank),
@@ -364,10 +365,9 @@ def use_consumable(st, idx):
     # Immolate: destroy 5 random alive cards, +$20 (consumables.py:518-530).
     do_immo = cid == IMMOLATE
     g = jnp.where(st.card_alive, jax.random.gumbel(k3, (fe.MAX_DECK,)), -jnp.inf)
-    order = jnp.argsort(-g)
-    rank_of = jnp.zeros(fe.MAX_DECK, jnp.int32).at[order].set(
-        jnp.arange(fe.MAX_DECK, dtype=jnp.int32))
-    immo_kill = st.card_alive & (rank_of < jnp.minimum(5, jnp.sum(st.card_alive)))
+    top_vals, _ = jax.lax.top_k(g, 5)
+    kth = top_vals[jnp.minimum(5, jnp.sum(st.card_alive)).astype(jnp.int32) - 1]
+    immo_kill = st.card_alive & (g >= kth)
     immo_st = _destroy_slots(st, immo_kill)
     immo_st = immo_st.replace(money=immo_st.money + 20)
     st = jax.tree.map(lambda a, b: jnp.where(do_immo, a, b), immo_st, st)
@@ -376,11 +376,12 @@ def use_consumable(st, idx):
 
     # Cryptid: 2 copies of first selected card (intended).
     do_cryptid = (cid == CRYPTID) & (n_sel >= 1)
-    first_pos = jnp.argmax(tgt_seal)
-    src_slot = jnp.clip(st.hand_idx[first_pos], 0, fe.MAX_DECK - 1)
-    cr = jnp.full(4, st.card_rank[src_slot])
-    cs = jnp.full(4, st.card_suit[src_slot])
-    ce = jnp.full(4, st.card_enh[src_slot])
+    first8 = _first_k_selected(sel, 1).astype(jnp.float32)
+    H8 = _fe()._hand_onehot(st)[:8]
+    row = first8 @ H8  # [64] one-hot of the source slot
+    cr = jnp.full(4, (row @ st.card_rank.astype(jnp.float32)).astype(jnp.int32))
+    cs = jnp.full(4, (row @ st.card_suit.astype(jnp.float32)).astype(jnp.int32))
+    ce = jnp.full(4, (row @ st.card_enh.astype(jnp.float32)).astype(jnp.int32))
     cryptid_st = _create_cards(st, 2, cr, cs, ce)
     st = jax.tree.map(lambda a, b: jnp.where(do_cryptid, a, b), cryptid_st, st)
     reward += jnp.where(do_cryptid, 6.0, 0.0)

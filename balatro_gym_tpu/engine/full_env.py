@@ -200,11 +200,21 @@ def reset(key) -> FullEnvState:
 # ---------------------------------------------------------------------------
 
 
+def _hand_onehot(st: FullEnvState):
+    """[10, 64] f32 one-hot of hand slots (zero rows for empty positions).
+
+    Every hand<->deck data movement routes through this matrix as small
+    matmuls — data-dependent gathers/scatters serialize on TPU (see
+    CLAUDE.md perf rules).
+    """
+    return ((st.hand_idx[:, None] == jnp.arange(MAX_DECK))
+            & (st.hand_idx >= 0)[:, None]).astype(jnp.float32)
+
+
 def _in_hand_mask(st: FullEnvState):
     """[64] bool: deck slot currently held in hand."""
-    safe = jnp.where(st.hand_idx >= 0, st.hand_idx, MAX_DECK)
-    m = jnp.zeros(MAX_DECK + 1, bool).at[safe].set(True)
-    return m[:MAX_DECK]
+    held = (jnp.arange(MAX_HAND) < st.hand_n).astype(jnp.float32)
+    return (held @ _hand_onehot(st)) > 0
 
 
 def _draw_cards(st: FullEnvState) -> FullEnvState:
@@ -215,11 +225,14 @@ def _draw_cards(st: FullEnvState) -> FullEnvState:
     cum = jnp.cumsum(avail.astype(jnp.int32))
     chosen = avail & (cum <= need)
     n_drawn = jnp.sum(chosen).astype(jnp.int32)
-    # Place chosen slots (ascending) at hand positions hand_n + (cum-1).
+    # Place chosen slots (ascending) at hand positions hand_n + (cum-1),
+    # via a [64,10] placement one-hot instead of a scatter.
     pos = jnp.where(chosen, st.hand_n + cum - 1, MAX_HAND)
-    hand_idx = st.hand_idx.at[pos].set(
-        jnp.arange(MAX_DECK, dtype=jnp.int32), mode="drop")
-    return st.replace(hand_idx=hand_idx, hand_n=st.hand_n + n_drawn)
+    P = (pos[:, None] == jnp.arange(MAX_HAND)).astype(jnp.float32)  # [64,10]
+    new_vals = (jnp.arange(MAX_DECK, dtype=jnp.float32) @ P).astype(jnp.int32)
+    filled = (chosen.astype(jnp.float32) @ P) > 0
+    return st.replace(hand_idx=jnp.where(filled, new_vals, st.hand_idx),
+                      hand_n=st.hand_n + n_drawn)
 
 
 def _remove_hand_positions(st: FullEnvState, remove) -> FullEnvState:
@@ -227,11 +240,14 @@ def _remove_hand_positions(st: FullEnvState, remove) -> FullEnvState:
     the remainder preserved, balatro_game.py:117-120)."""
     slots = jnp.arange(MAX_HAND)
     keep = (slots < st.hand_n) & ~remove
-    order = jnp.argsort(~keep, stable=True)
+    # Stable compaction: kept card i moves to (#kept before i) — one-hot
+    # placement matmul, no sort/scatter.
+    dest = jnp.where(keep, jnp.cumsum(keep.astype(jnp.int32)) - 1, MAX_HAND)
+    D = (dest[:, None] == slots).astype(jnp.float32)  # [10,10]
     new_n = jnp.sum(keep).astype(jnp.int32)
-    in_range = slots < new_n
+    moved = (st.hand_idx.astype(jnp.float32) @ D).astype(jnp.int32)
     return st.replace(
-        hand_idx=jnp.where(in_range, st.hand_idx[order], -1),
+        hand_idx=jnp.where(slots < new_n, moved, -1),
         hand_n=new_n,
     )
 
@@ -242,10 +258,9 @@ def _hand_card_view(st: FullEnvState):
     Returns (ranks, suits, enh, ed, seal, present) — [8] each; absent
     positions zeroed.
     """
-    idx = st.hand_idx[:SEL]
-    present = (jnp.arange(SEL) < st.hand_n) & (idx >= 0)
-    safe = jnp.clip(idx, 0, MAX_DECK - 1)
-    z = lambda a: jnp.where(present, a[safe], 0)
+    H = _hand_onehot(st)[:SEL]  # [8,64]
+    present = (jnp.arange(SEL) < st.hand_n) & (st.hand_idx[:SEL] >= 0)
+    z = lambda a: (H @ a.astype(jnp.float32)).astype(jnp.int32)
     return (z(st.card_rank), z(st.card_suit), z(st.card_enh),
             z(st.card_ed), z(st.card_seal), present)
 
@@ -279,9 +294,10 @@ def _advance_round(st: FullEnvState) -> FullEnvState:
     """Beat/skip a blind: gold-card money, boss payout, ante/round++, round
     money, reset hands/discards, phase=SHOP + new inventory."""
     # Gold cards held in hand: +$3 each (balatro_env_2.py:1337-1343).
-    idx = jnp.where(st.hand_idx >= 0, st.hand_idx, 0)
-    held = jnp.arange(MAX_HAND) < st.hand_n
-    gold = jnp.sum(held & (st.card_enh[idx] == C.Enhancement.GOLD)).astype(jnp.int32)
+    H10 = _hand_onehot(st)
+    held = (jnp.arange(MAX_HAND) < st.hand_n).astype(jnp.float32)
+    gold_slots = (st.card_enh == C.Enhancement.GOLD).astype(jnp.float32)
+    gold = ((held * (H10 @ gold_slots)).sum()).astype(jnp.int32)
     money = st.money + gold * C.GOLD_CARD_MONEY
 
     # Boss payout + deactivate (balatro_env_2.py:1346-1352).
@@ -381,10 +397,11 @@ def _play_hand(st: FullEnvState):
     n_red = jnp.sum(sel & (seal == C.Seal.RED)).astype(jnp.int32)
 
     # --- steel bonus from cards left in hand (balatro_env_2.py:560-570) ---
-    all_idx = jnp.where(st.hand_idx >= 0, st.hand_idx, 0)
+    H10 = _hand_onehot(st)
     held = jnp.arange(MAX_HAND) < st.hand_n
     sel10 = jnp.concatenate([sel, jnp.zeros(MAX_HAND - SEL, bool)])
-    steel_held = held & ~sel10 & (st.card_enh[all_idx] == C.Enhancement.STEEL)
+    is_steel = (H10 @ (st.card_enh == C.Enhancement.STEEL).astype(jnp.float32)) > 0
+    steel_held = held & ~sel10 & is_steel
     steel_mult = C.STEEL_IN_HAND_XMULT ** jnp.sum(steel_held).astype(_F)
     final_score = jnp.trunc(base_score.astype(_F) * steel_mult).astype(jnp.int64)
 
@@ -392,8 +409,8 @@ def _play_hand(st: FullEnvState):
     level = st.hand_levels[ht].astype(jnp.int64)
     base_c = BASE_HAND_CHIPS[ht].astype(jnp.int64) + (level - 1) * 10
     base_m = BASE_HAND_MULT[ht].astype(jnp.int64) + (level - 1)
-    sel_slots = jnp.where(sel, jnp.clip(st.hand_idx[:SEL], 0, MAX_DECK - 1), 0)
-    played_before = sel & st.boss_played_slots[sel_slots]
+    H8 = _hand_onehot(st)[:SEL]
+    played_before = sel & ((H8 @ st.boss_played_slots.astype(jnp.float32)) > 0)
     ratio = B.scoring_ratio(st.boss_id, st.boss_active, base_c, base_m,
                             ranks, sel, played_before)
     final_score = jnp.trunc(final_score.astype(_F) * ratio).astype(jnp.int64)
@@ -428,7 +445,7 @@ def _play_hand(st: FullEnvState):
     # Boss on_hand_scored bookkeeping (boss_blinds.py:480-507): hand-type
     # set, first-hand flag, Pillar played-card marks, Verdant escalation.
     # (Tooth money / Serpent force-draw are throwaway-dict no-ops.)
-    sel64 = jnp.zeros(MAX_DECK, bool).at[sel_slots].max(sel)
+    sel64 = (sel.astype(jnp.float32) @ H8) > 0
     st = st.replace(
         boss_played_types=jnp.where(
             st.boss_active,
@@ -484,9 +501,9 @@ def _play_hand(st: FullEnvState):
     cont = _draw_cards(st.replace(hands_left=st.hands_left - 1))
     # Boss on_hand_drawn for the refreshed hand (balatro_env_2.py:936-948):
     # face-down flips + The Hook's forced discard of 2 random cards.
-    c_ranks = jnp.where(jnp.arange(MAX_HAND) < cont.hand_n,
-                        cont.card_rank[jnp.clip(cont.hand_idx, 0, MAX_DECK - 1)], 0)
     c_present = jnp.arange(MAX_HAND) < cont.hand_n
+    c_ranks = (_hand_onehot(cont) @ cont.card_rank.astype(jnp.float32)).astype(jnp.int32)
+    c_ranks = jnp.where(c_present, c_ranks, 0)
     face10, hook10 = B.on_hand_drawn(k_boss, cont.boss_id,
                                      cont.boss_first_hand, c_ranks, c_present)
     boss_on = cont.boss_active
