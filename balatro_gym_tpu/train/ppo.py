@@ -58,6 +58,8 @@ class PPOConfig:
     # VecNormalize-equivalent running normalization (hpc_train.py:68-72).
     normalize_obs: bool = True
     normalize_reward: bool = True
+    # bf16 matmuls for the policy net (MXU-native); params stay f32.
+    bf16_compute: bool = False
 
 
 @struct.dataclass
@@ -89,7 +91,8 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
     update_fn(TrainState) -> (TrainState, metrics dict)   [pure; jit/shard_map it]
     policy_fn(params, obs, mask) -> (logits, value)
     """
-    net = ActorCritic(n_actions=hooks.n_actions, hidden=tuple(cfg.hidden))
+    net = ActorCritic(n_actions=hooks.n_actions, hidden=tuple(cfg.hidden),
+                      compute_dtype=jnp.bfloat16 if cfg.bf16_compute else None)
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adam(cfg.lr, eps=1e-5),
