@@ -29,6 +29,19 @@ import jax
 import numpy as np
 
 
+
+def _enable_compile_cache():
+    """Persist XLA compiles across processes (full-env programs take minutes
+    to compile on TPU; the cache makes reruns start in seconds)."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TPU-native Balatro PPO trainer")
     p.add_argument("--env", choices=["sim", "full"], default="sim")
@@ -59,6 +72,7 @@ def _save_checkpoint(ckpt_dir: str, step: int, ts) -> None:
 
 
 def main(argv=None) -> dict:
+    _enable_compile_cache()
     args = build_parser().parse_args(argv)
 
     from balatro_gym_tpu.train.ppo import (

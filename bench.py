@@ -40,6 +40,11 @@ def _throughput(device, n_envs, n_steps, *, jokers=(1, 31, 34, 48, 72)):
 
 
 def main():
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
     default = jax.devices()[0]
     value = _throughput(default, N_ENVS, N_STEPS)
 
