@@ -82,8 +82,67 @@ def collect_sim_trajectories(n_trajectories: int = 5, seed: int = 0,
     return out
 
 
+def collect_expert_trajectories(n_trajectories: int = 4, seed: int = 0,
+                                max_steps: int = 64):
+    """Expert demonstrations on the FLAGSHIP env (the reference
+    TrajectoryGenerator's role, trajectory_gym.py:9-166 — which referenced
+    nonexistent env kwargs; rebuilt on the working exhaustive expert).
+
+    Returns fixture-style dicts with flagship observations.
+    """
+    from balatro_gym_tpu.engine import full_env
+    from balatro_gym_tpu.train.expert import expert_action
+
+    step = jax.jit(full_env.step)
+    act = jax.jit(expert_action)
+    obs_fn = jax.jit(full_env.observe)
+
+    def obs_dict(st):
+        o = jax.device_get(obs_fn(st))
+        return {k: np.asarray(v).tolist() if np.asarray(v).ndim else
+                int(np.asarray(v)) if np.asarray(v).dtype.kind in "iub"
+                else float(np.asarray(v)) for k, v in o.items()
+                if k != "action_mask"}
+
+    out = []
+    for t in range(n_trajectories):
+        st = full_env.reset(jax.random.key(seed + t))
+        traj = []
+        for _ in range(max_steps):
+            action = int(act(st))
+            pre = obs_dict(st)
+            st2, reward, done = step(st, jnp.int32(action))
+            traj.append({
+                "state": pre,
+                "action": {"type": "env_action", "id": action},
+                "reward": float(reward),
+                "next_state": obs_dict(st2),
+                "done": bool(done),
+            })
+            st = st2
+            if bool(done):
+                break
+        out.append(traj)
+    return out
+
+
 def save_trajectories(trajectories, path: str | Path) -> None:
     Path(path).write_text(json.dumps(trajectories, indent=2))
+
+
+def save_trajectories_pickle(trajectories, path: str | Path) -> None:
+    """Pickle batch saver (save_traj.py:85-226 parity)."""
+    import pickle
+
+    with open(path, "wb") as f:
+        pickle.dump(trajectories, f)
+
+
+def load_trajectories_pickle(path: str | Path):
+    import pickle
+
+    with open(path, "rb") as f:
+        return pickle.load(f)
 
 
 def analyze_trajectories(trajectories):
