@@ -141,14 +141,21 @@ def _destroy_slots(st, kill64):
 
 
 def _create_cards(st, n, ranks_n, suits_n, enh_n):
-    """Append up to n new cards into dead/unused deck slots (list.append ⇒
-    highest slots, drawn last under the ascending-available draw)."""
+    """Append up to n new cards into dead/unused deck slots.
+
+    The reference appends to the END of the deck list, so created cards are
+    drawn after every existing card. With stable slot identity, that means
+    filling the HIGHEST free slots (descending), not the lowest — a freed
+    mid-deck slot must not jump the draw queue. Reused slots also clear any
+    stale Pillar played-this-round mark.
+    """
     fe = _fe()
     free = ~st.card_alive
-    csum = jnp.cumsum(free.astype(jnp.int32))
-    take = free & (csum <= n)  # first free slots ascending
-    # k-th created card goes to the k-th free slot (one-hot pick, no gather).
-    ordinal = jnp.where(take, csum - 1, n)
+    # Count free slots from the top: csum_desc[s] = #free among slots >= s.
+    csum_desc = jnp.cumsum(free[::-1].astype(jnp.int32))[::-1]
+    take = free & (csum_desc <= n)  # highest free slots
+    # k-th created card (k=0 first) goes to the k-th taken slot ascending.
+    ordinal = jnp.where(take, jnp.cumsum(take.astype(jnp.int32)) - 1, n)
     O = (ordinal[:, None] == jnp.arange(4)).astype(jnp.float32)  # [64,4]
     pick = lambda vals: (O @ vals.astype(jnp.float32)).astype(jnp.int32)
     return st.replace(
@@ -158,6 +165,7 @@ def _create_cards(st, n, ranks_n, suits_n, enh_n):
         card_ed=jnp.where(take, 0, st.card_ed),
         card_seal=jnp.where(take, 0, st.card_seal),
         card_alive=st.card_alive | take,
+        boss_played_slots=jnp.where(take, False, st.boss_played_slots),
     )
 
 
@@ -287,9 +295,14 @@ def use_consumable(st, idx):
     # Fool reward: items_created counts the copy (balatro_env_2.py:1156-1160).
     reward += jnp.where(do_fool, 5.0 * fool_items.astype(F), 0.0)
     success |= make_two | do_judge | do_fool
-    pending = jnp.where(make_two | do_judge, items1, 0)  # env re-appends
+    # Env re-append applies to EVERY consumable's items_created, including
+    # the Fool's copy (balatro_env_2.py:1156-1159) — the self-duplicating
+    # Fool quirk.
+    pending = jnp.where(make_two | do_judge, items1,
+                        jnp.where(do_fool, fool_items, 0))
     pending_vals = jnp.stack([
-        jnp.where(do_judge, planet9[0], vals[0]), vals[1]])
+        jnp.where(do_fool, fool_pick,
+                  jnp.where(do_judge, planet9[0], vals[0])), vals[1]])
 
     # ---- joker-creating spectrals ---------------------------------------
     jslot_free = st.joker_n < st.joker_slots

@@ -230,11 +230,7 @@ def rollout_random(key, n_envs: int, n_steps: int, jokers=None):
         states = jax.vmap(reset)(keys)
 
     def one(st, k):
-        a = random_legal_action(st, k)
-        st2, reward, done = step_action(st, a)
-        fresh = reset(st2.key, jokers=st2.jokers)
-        st3 = jax.tree.map(lambda f, s: jnp.where(done, f, s), fresh, st2)
-        return st3, reward, done
+        return step_autoreset(st, random_legal_action(st, k))
 
     def body(carry, k):
         sts, tot, eps = carry

@@ -122,11 +122,9 @@ class BalatroSimulator:
         jok = np.zeros(5, np.int32)
         for i, j in enumerate(self.jokers[:5]):
             jok[i] = j
-        levels = jnp.asarray(
-            [self.engine.hand_levels[HandType(h)] for h in range(NUM_HAND_TYPES)],
-            jnp.int32)
-        # Level adjustment: score_sim uses base values; add level bonus the
-        # way the engine path would (chips +10/lvl, mult +1/lvl).
+        # NOTE: hand levels do NOT affect this pipeline — the reference's
+        # calculate_score reads base values only (balatro_sim.py:431-436),
+        # so apply_planet changes engine state but not sim scores.
         zeros = jnp.zeros(N, jnp.int32)
         base_value = jnp.asarray(
             [int(C.RANK_CHIPS[r]) for r in ranks], jnp.int32)

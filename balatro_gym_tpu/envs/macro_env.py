@@ -129,14 +129,19 @@ def _step_play(st: MacroEnvState, action):
     # --- play macros 0-5 ---
     sel = macro_select(st.hand_rank, st.hand_suit, valid, jnp.clip(action, 0, 5))
     key, k_score = jax.random.split(st.key)
+    base_value = ((st.hand_rank[:, None] == jnp.arange(15)).astype(jnp.float32)
+                  @ C.RANK_CHIPS.astype(jnp.float32)).astype(jnp.int32)
     score, money_d, _ht, _mask = score_sim(
         st.hand_rank, st.hand_suit, sel,
         jnp.zeros(HAND, jnp.int32), jnp.zeros(HAND, jnp.int32),
-        jnp.zeros(HAND, jnp.int32), C.RANK_CHIPS[st.hand_rank],
+        jnp.zeros(HAND, jnp.int32), base_value,
         st.jokers, st.hands_left, st.discards_left,
         52 - st.deck_ptr, k_score)
+    # BUG-FAITHFUL: the reference adds the score to chips and then
+    # immediately overwrites chips with the scoring-state money
+    # (balatro_env_v2.py:236-238) — so only in-scoring money effects land.
     played = st.replace(
-        chips=st.chips + score.astype(jnp.int32) + money_d,
+        chips=st.chips + money_d,
         score_total=st.score_total + score,
         hands_left=st.hands_left - 1, key=key)
     round_over = played.hands_left <= 0
@@ -145,8 +150,18 @@ def _step_play(st: MacroEnvState, action):
     r_play = score.astype(jnp.float32) / 100.0
 
     # --- discards 6-8 ---
+    # Joker discard money (balatro_env_v2.py:262-264 -> balatro_sim.py:715-736):
+    # the sim context has no 'is_first_discard', so Trading Card never fires
+    # there — only Faceless Joker (>=3 face discards -> +$5).
     can_discard = st.discards_left > 0
-    discarded = _deal(st.replace(discards_left=st.discards_left - 1))
+    k = jnp.clip(jnp.where(action == 6, 1, jnp.where(action == 7, 3, 8)), 0, 8)
+    disc_mask = jnp.arange(HAND) < k
+    n_face = jnp.sum(disc_mask & (st.hand_rank >= 11) & (st.hand_rank <= 13))
+    from balatro_gym_tpu.ops.joker_tables import J_FACELESS
+
+    disc_money = jnp.where(jnp.any(st.jokers == J_FACELESS) & (n_face >= 3), 5, 0)
+    discarded = _deal(st.replace(discards_left=st.discards_left - 1,
+                                 chips=st.chips + disc_money))
     r_disc = jnp.where(can_discard, -0.1, -1.0)
     discarded = jax.tree.map(
         lambda a, b: jnp.where(can_discard, a, b), discarded, st)

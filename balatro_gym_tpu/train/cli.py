@@ -64,11 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _save_checkpoint(ckpt_dir: str, step: int, ts) -> None:
-    import orbax.checkpoint as ocp
+    from balatro_gym_tpu.utils.checkpoint import save_train_state
 
-    path = Path(ckpt_dir).absolute() / f"step_{step}"
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, ts.params)
+    save_train_state(Path(ckpt_dir) / f"step_{step}", ts)
 
 
 def main(argv=None) -> dict:
@@ -104,6 +102,12 @@ def main(argv=None) -> dict:
         step_fn = jax.jit(functools.partial(update_fn, axis_name=None))
 
     ts = init_fn(jax.random.key(args.seed))
+    if args.resume:
+        from balatro_gym_tpu.utils.checkpoint import restore_train_state
+
+        ts = restore_train_state(args.resume, ts)
+        print(f"resumed from {args.resume} at update {int(ts.update_idx)}",
+              flush=True)
 
     t0 = time.perf_counter()
     history = []

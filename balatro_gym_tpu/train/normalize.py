@@ -34,8 +34,11 @@ def update_stats(rs: RunningStats, batch, axis_name: str | None = None) -> Runni
     b_var = jnp.var(batch, axis=0)
     b_count = jnp.asarray(batch.shape[0], jnp.float32)
     if axis_name is not None:
-        b_mean = jax.lax.pmean(b_mean, axis_name)
-        b_var = jax.lax.pmean(b_var, axis_name)
+        g_mean = jax.lax.pmean(b_mean, axis_name)
+        # Pooled variance needs the between-shard term E[(m_i - m)^2], not
+        # just the mean of within-shard variances.
+        b_var = jax.lax.pmean(b_var + (b_mean - g_mean) ** 2, axis_name)
+        b_mean = g_mean
         b_count = jax.lax.psum(b_count, axis_name)
 
     delta = b_mean - rs.mean

@@ -153,7 +153,8 @@ def analyze_trajectories(trajectories):
         rows.append({
             "transitions": len(traj),
             "total_reward": sum(t["reward"] for t in traj),
-            "final_score": traj[-1]["next_state"]["score"] if traj else 0,
+            "final_score": traj[-1]["next_state"].get(
+                "score", traj[-1]["next_state"].get("chips_scored", 0)) if traj else 0,
             "plays": sum(1 for t in traj if t["action"]["type"] == "play_hand"),
             "discards": sum(1 for t in traj if t["action"]["type"] == "discard"),
         })

@@ -186,10 +186,20 @@ def test_ouija_converts_rank_and_hand_size(step):
 def test_fool_copies_consumable(step):
     st = in_play(step, cons=[CL.FOOL, CL.HERMIT])
     st2, r, _ = step(st, jnp.int32(USE0))
-    # Fool picks one of [Fool, Hermit]; after pop: [Hermit, copy].
+    # Fool picks one of [Fool, Hermit]; after pop: [Hermit, copy]; env
+    # re-append is gated by len < slots(2) -> no third copy.
     assert int(st2.cons_n) == 2
     assert int(st2.cons[0]) == CL.HERMIT
     assert int(st2.cons[1]) in (CL.FOOL, CL.HERMIT)
+
+
+def test_fool_alone_self_duplicates(step):
+    # The self-duplicating-Fool quirk (balatro_env_2.py:1156-1159): in-list
+    # copy, pop, then env re-append of items_created -> TWO Fools remain.
+    st = in_play(step, cons=[CL.FOOL])
+    st2, r, _ = step(st, jnp.int32(USE0))
+    assert int(st2.cons_n) == 2
+    assert int(st2.cons[0]) == CL.FOOL and int(st2.cons[1]) == CL.FOOL
 
 
 def test_emperor_creates_enumname_tarots(step):
