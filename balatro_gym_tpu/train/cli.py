@@ -43,7 +43,10 @@ def _enable_compile_cache():
 
 
 def build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(description="TPU-native Balatro PPO trainer")
+    p = argparse.ArgumentParser(description="TPU-native Balatro trainer")
+    p.add_argument("--algorithm", choices=["ppo", "a2c", "dqn"], default="ppo",
+                   help="ppo (default) | a2c | dqn — the reference's three "
+                        "algorithms (train_balatro_agent.py --algorithm)")
     p.add_argument("--env", choices=["sim", "full"], default="sim")
     p.add_argument("--updates", type=int, default=50)
     p.add_argument("--n-envs", type=int, default=1024)
@@ -90,14 +93,28 @@ def main(argv=None) -> dict:
         except Exception:
             wandb_run = None  # offline / not installed: train anyway
 
-    if args.distributed:
+    import functools
+
+    if args.algorithm == "a2c":
+        from balatro_gym_tpu.train.a2c import A2CConfig, make_a2c
+
+        acfg = A2CConfig(n_envs=args.n_envs, rollout_len=args.rollout,
+                         lr=args.lr)
+        init_fn, update_fn = make_a2c(hooks, acfg)
+        step_fn = jax.jit(functools.partial(update_fn, axis_name=None))
+    elif args.algorithm == "dqn":
+        from balatro_gym_tpu.train.dqn import DQNConfig, make_dqn
+
+        dcfg = DQNConfig(n_envs=args.n_envs, lr=args.lr,
+                         steps_per_update=args.rollout)
+        init_fn, update_fn = make_dqn(hooks, dcfg)
+        step_fn = jax.jit(update_fn)
+    elif args.distributed:
         from balatro_gym_tpu.parallel.mesh import make_distributed_ppo, make_mesh
 
         mesh = make_mesh()
         init_fn, step_fn, _ = make_distributed_ppo(hooks, cfg, mesh)
     else:
-        import functools
-
         init_fn, update_fn, _ = make_ppo(hooks, cfg)
         step_fn = jax.jit(functools.partial(update_fn, axis_name=None))
 
@@ -130,6 +147,7 @@ def main(argv=None) -> dict:
     elapsed = time.perf_counter() - t0
     total_steps = args.updates * cfg.n_envs * cfg.rollout_len
     summary = {
+        "algorithm": args.algorithm,
         "env": args.env,
         "total_env_steps": total_steps,
         "wall_seconds": elapsed,
