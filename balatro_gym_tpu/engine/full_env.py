@@ -306,21 +306,27 @@ def _advance_round(st: FullEnvState) -> FullEnvState:
 
     new_ante = jnp.where(st.round == 3, st.ante + 1, st.ante)
     new_round = jnp.where(st.round == 3, 1, st.round + 1)
-    money = money + 25 * new_round + jnp.where(new_round == 3, 10, 0)
+    # Past ante 100 the reference returns right after the increment
+    # (balatro_env_2.py:1364-1367): no round money, no hands reset, no shop,
+    # phase unchanged.
+    over = new_ante > 100
+    money = money + jnp.where(over, 0,
+                              25 * new_round + jnp.where(new_round == 3, 10, 0))
 
-    st = st.replace(
+    st_base = st.replace(
         money=money, ante=new_ante, round=new_round,
         round_chips_scored=jnp.int64(0),
         best_hand_this_ante=jnp.int64(0), hands_played_ante=jnp.int32(0),
-        hands_left=jnp.int32(4), discards_left=jnp.int32(3),
         boss_active=jnp.zeros((), bool), boss_id=jnp.int32(-1),
         boss_played_types=jnp.uint32(0), boss_first_hand=jnp.ones((), bool),
         boss_verdant_req=jnp.int32(5),
         boss_played_slots=jnp.zeros(MAX_DECK, bool),
         face_down=jnp.zeros(SEL, bool),
-        phase=jnp.int32(Phase.SHOP),
     )
-    return _generate_shop(st)
+    advanced = _generate_shop(st_base.replace(
+        hands_left=jnp.int32(4), discards_left=jnp.int32(3),
+        phase=jnp.int32(Phase.SHOP)))
+    return jax.tree.map(lambda a, b: jnp.where(over, a, b), st_base, advanced)
 
 
 # ---------------------------------------------------------------------------
@@ -613,8 +619,10 @@ def _shop_buy(st: FullEnvState, idx):
 
     joker_full = st.joker_n >= st.joker_slots
     buy_joker = (itype == SL.IT_JOKER) & ~joker_full
-    # Joker-slots-full buy: shop returns -1 error, money untouched
-    # (shop.py:196-198) — modelled as a no-op with reward -1.
+    # BUG-FAITHFUL: shop.step deducts the cost and pops the item BEFORE the
+    # joker-slots check (shop.py:186-198), so a slots-full joker buy still
+    # loses the money and the inventory item; only the joker is not added
+    # and the reward is -1.
     blocked = (itype == SL.IT_JOKER) & joker_full
 
     types, items, costs, n = SL.pop_item(st.shop_type, st.shop_item, st.shop_cost, st.shop_n, idx)
@@ -627,14 +635,13 @@ def _shop_buy(st: FullEnvState, idx):
         st.vouchers | (jnp.uint32(1) << item.astype(jnp.uint32)),
         st.vouchers)
 
-    bought = st.replace(
+    st2 = st.replace(
         money=st.money - cost,
         shop_type=types, shop_item=items, shop_cost=costs, shop_n=n,
         jokers=jokers,
         joker_n=st.joker_n + jnp.where(buy_joker, 1, 0),
         vouchers=vouchers,
     )
-    st2 = jax.tree.map(lambda a, b: jnp.where(blocked, a, b), st, bought)
     # Purchase rewards (balatro_env_2.py:1225-1241): pack 5, joker 15,
     # card 3, voucher 10.
     reward = jnp.where(

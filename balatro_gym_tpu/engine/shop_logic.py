@@ -113,12 +113,6 @@ def generate_inventory(key, ante, owned_jokers, vouchers):
 def pop_item(types, items, costs, n, idx):
     """Remove item idx, shifting the tail left (list.pop semantics)."""
     slots = jnp.arange(SHOP_SLOTS)
-    src = jnp.where(slots >= idx, slots + 1, slots)
-    src = jnp.clip(src, 0, SHOP_SLOTS - 1)
-
-    def shift(a):
-        out = a[src]
-        return jnp.where(slots < n - 1, out, jnp.where(slots < idx, a, 0))
 
     # Keep entries before idx, shift after, zero the tail.
     def take(a):

@@ -131,7 +131,7 @@ def step(st: SimEnvState, select, is_discard):
         st.hand_rank, st.hand_suit, select, st.hand_enh,
         jnp.zeros(HAND_SIZE, jnp.int32), jnp.zeros(HAND_SIZE, jnp.int32),
         base_value, st.jokers, st.hands_left, st.discards_left,
-        st.deck_n, sub,
+        jnp.int32(0), sub,  # purchased-cards count (none in the fixture loop)
     )
     new_score = st.score + delta
     beat = new_score >= st.blind_requirement

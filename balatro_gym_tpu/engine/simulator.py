@@ -79,7 +79,11 @@ class BalatroSimulator:
     # -- hand evaluation (balatro_sim.py:220-366) --
 
     def evaluate_hand(self, cards) -> dict:
-        """All matched hands with their scoring-card index sets + 'top'."""
+        """All matched hands with their scoring-card index sets + 'top',
+        including the combined entries (Full House/Two Pair/Straight Flush/
+        Flush House/Flush Five) and the group CASCADE of the reference
+        (balatro_sim.py:255-364: 5K→4K→3K→Pair; Full House also emits a
+        Two Pair entry)."""
         from balatro_gym_tpu.oracle.hand_oracle import (
             evaluate_sim_oracle, _x_same, _flush, _straight)
 
@@ -88,18 +92,47 @@ class BalatroSimulator:
         sc = any(j == 69 for j in self.jokers)       # Shortcut
         top, top_set = evaluate_sim_oracle(cards, ff, sc)
 
-        out: dict = {name: [] for name in SIM_HAND_NAMES}
-        for k, names in ((5, "Five of a Kind"), (4, "Four of a Kind"),
-                         (3, "Three of a Kind"), (2, "Pair")):
-            for group in _x_same(k, cards):
-                out[names].append(sorted(group))
+        g5, g4, g3, g2 = (_x_same(k, cards) for k in (5, 4, 3, 2))
         fl = _flush(cards, ff)
-        if fl is not None:
-            out["Flush"].append(sorted(fl))
         st_, _sk = _straight(cards, ff, sc)
         if st_ is not None:
-            out["Straight"].append(sorted(st_[: 4 if ff else 5]))
+            st_ = st_[: 4 if ff else 5]
+
+        out: dict = {name: [] for name in SIM_HAND_NAMES}
+        if g5 and fl is not None:
+            out["Flush Five"] = [list(g) for g in g5]
+        if g3 and g2 and fl is not None:
+            out["Flush House"].append(list(g3[0]) + list(g2[0]))
+        if g5:
+            out["Five of a Kind"] = [list(g) for g in g5]
+        if fl is not None and st_ is not None:
+            out["Straight Flush"] = [
+                list(fl) + [c for c in st_ if c not in fl]]
+        if g4:
+            out["Four of a Kind"] = [list(g) for g in g4]
+        if g3 and g2:
+            out["Full House"].append(list(g3[0]) + list(g2[0]))
+        if fl is not None:
+            out["Flush"].append(list(fl))
+        if st_ is not None:
+            out["Straight"].append(list(st_))
+        if g3:
+            out["Three of a Kind"] = [list(g) for g in g3]
+        if len(g2) == 2 or (len(g3) == 1 and len(g2) == 1):
+            second = g2[1] if len(g2) > 1 else g3[0]
+            out["Two Pair"].append(list(g2[0]) + list(second))
+        if g2:
+            out["Pair"] = [list(g) for g in g2]
         out["High Card"] = [list(range(len(cards)))]
+
+        # Cascade lower hands (balatro_sim.py:355-364).
+        if out["Five of a Kind"]:
+            out["Four of a Kind"] = [out["Five of a Kind"][0][:4]]
+        if out["Four of a Kind"]:
+            out["Three of a Kind"] = [out["Four of a Kind"][0][:3]]
+        if out["Three of a Kind"]:
+            out["Pair"] = [out["Three of a Kind"][0][:2]]
+
         out["top"] = SIM_HAND_NAMES[top]
         out["top_type"] = int(top)
         out["scoring_cards"] = sorted(top_set)
@@ -131,7 +164,7 @@ class BalatroSimulator:
         score, money, ht, smask = self._score(
             jnp.asarray(ranks), jnp.asarray(suits), jnp.asarray(valid),
             jnp.asarray(enh), zeros, zeros, base_value, jnp.asarray(jok),
-            jnp.int32(4), jnp.int32(3), jnp.int32(52 - n),
+            jnp.int32(4), jnp.int32(3), jnp.int32(0),
             jax.random.key(seed))
         self.engine.hand_play_counts[HandType(int(ht))] += 1
         return int(score), {"money": int(money),

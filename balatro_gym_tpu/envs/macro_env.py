@@ -7,7 +7,14 @@ Reference: balatro_gym/balatro_env_v2.py:60-400. ``Discrete(70)``:
 * 6-8  discard first 1 / first 3 / all (:258-276),
 * 10-69 shop actions in the reference ``ShopAction`` id scheme (SKIP=10,
   REROLL=11, BUY_PACK 12+, BUY_JOKER 20+, BUY_CARD 40+, BUY_VOUCHER 60+,
-  shop.py:44-68) indexed by inventory position.
+  shop.py:44-68) indexed by inventory position. BUG-FAITHFUL id soup: the
+  reference mask emits ``BUY_PACK_BASE+i`` for EVERY affordable slot
+  (v2:314-316), so non-pack items are bought through the pack verb — the
+  shop charges, pops, appends one random card to the purchased deck, and the
+  env layer then adds the joker if the item was one (v2:170-183, unbounded
+  past 5 slots up to our physical cap of 8); slot 8's id collides with
+  ``BUY_JOKER_BASE`` and decodes as a joker-verb buy of slot... the verb's
+  own index. Vouchers bought via the pack verb never reach the voucher list.
 
 Scoring runs the sim pipeline (ops.scoring.score_sim — the fixture path);
 reward = score/100, discard −0.1, invalid discard −1 (:243,269,276). A round
@@ -53,8 +60,9 @@ class MacroEnvState:
     ante: jnp.ndarray        # i32
     hands_left: jnp.ndarray  # i32
     discards_left: jnp.ndarray  # i32
-    jokers: jnp.ndarray      # [5] i32
+    jokers: jnp.ndarray      # [8] i32 (reference appends unbounded; cap 8)
     joker_n: jnp.ndarray     # i32
+    purchased_cards: jnp.ndarray  # i32 — player_state.deck length (shop buys)
     vouchers: jnp.ndarray    # u32
     phase: jnp.ndarray       # i32
     shop_type: jnp.ndarray   # [10] i32
@@ -98,7 +106,8 @@ def reset(key) -> MacroEnvState:
         hand_rank=jnp.zeros(HAND, jnp.int32), hand_suit=jnp.zeros(HAND, jnp.int32),
         chips=jnp.int32(100), score_total=jnp.int64(0),
         ante=jnp.int32(1), hands_left=jnp.int32(4), discards_left=jnp.int32(3),
-        jokers=jnp.zeros(5, jnp.int32), joker_n=jnp.int32(0),
+        jokers=jnp.zeros(8, jnp.int32), joker_n=jnp.int32(0),
+        purchased_cards=jnp.int32(0),
         vouchers=jnp.uint32(0), phase=jnp.int32(PHASE_PLAY),
         shop_type=jnp.zeros(SL.SHOP_SLOTS, jnp.int32),
         shop_item=jnp.zeros(SL.SHOP_SLOTS, jnp.int32),
@@ -114,7 +123,8 @@ def _end_round(st: MacroEnvState) -> MacroEnvState:
     ante = st.ante + 1
     blind_reward = jnp.minimum(ante + 2, 10) + ante
     key, k_shop = jax.random.split(st.key)
-    types, items, costs, n = SL.generate_inventory(k_shop, ante, st.jokers, st.vouchers)
+    types, items, costs, n = SL.generate_inventory(k_shop, ante, st.jokers[:5],
+                                                    st.vouchers)
     return st.replace(
         ante=ante, chips=st.chips + blind_reward,
         phase=jnp.int32(PHASE_SHOP),
@@ -136,7 +146,7 @@ def _step_play(st: MacroEnvState, action):
         jnp.zeros(HAND, jnp.int32), jnp.zeros(HAND, jnp.int32),
         jnp.zeros(HAND, jnp.int32), base_value,
         st.jokers, st.hands_left, st.discards_left,
-        52 - st.deck_ptr, k_score)
+        st.purchased_cards, k_score)  # sim 'deck' = purchased cards
     # BUG-FAITHFUL: the reference adds the score to chips and then
     # immediately overwrites chips with the scoring-state money
     # (balatro_env_v2.py:236-238) — so only in-scoring money effects land.
@@ -182,37 +192,61 @@ def _step_shop(st: MacroEnvState, action):
     cost, next_base = SL.reroll_charge(st.reroll_base, st.ante, st.vouchers)
     afford = st.chips >= cost
     key, k_shop = jax.random.split(st.key)
-    t2, i2, c2, n2 = SL.generate_inventory(k_shop, st.ante, st.jokers, st.vouchers)
+    t2, i2, c2, n2 = SL.generate_inventory(k_shop, st.ante, st.jokers[:5],
+                                           st.vouchers)
     rerolled = st.replace(chips=st.chips - cost, reroll_base=next_base,
                           shop_type=t2, shop_item=i2, shop_cost=c2, shop_n=n2,
                           key=key)
     rerolled = jax.tree.map(lambda a, b: jnp.where(afford, a, b), rerolled, st)
     r_reroll = jnp.where(afford, 0.0, -1.0)
 
-    # buy by position (verb base + idx)
-    idx = jnp.where(action >= A_VOUCHER, action - A_VOUCHER,
-                    jnp.where(action >= A_CARD, action - A_CARD,
-                              jnp.where(action >= A_JOKER, action - A_JOKER,
-                                        action - A_PACK)))
+    # --- buys: verb + index from the id soup (shop.py:56-68) ---
+    is_pack_verb = (action >= A_PACK) & (action < A_JOKER)
+    is_joker_verb = (action >= A_JOKER) & (action < A_CARD)
+    is_card_verb = (action >= A_CARD) & (action < A_VOUCHER)
+    idx = jnp.where(is_pack_verb, action - A_PACK,
+                    jnp.where(is_joker_verb, action - A_JOKER,
+                              jnp.where(is_card_verb, action - A_CARD,
+                                        action - A_VOUCHER)))
     idx = jnp.clip(idx, 0, SL.SHOP_SLOTS - 1)
     itype = st.shop_type[idx]
     item = st.shop_item[idx]
     cost_i = st.shop_cost[idx]
     ok = (idx < st.shop_n) & (st.chips >= cost_i)
-    joker_ok = (itype != SL.IT_JOKER) | (st.joker_n < 5)
-    ok = ok & joker_ok
-    t3, i3, c3, n3 = SL.pop_item(st.shop_type, st.shop_item, st.shop_cost, st.shop_n, idx)
-    jpos = jnp.clip(st.joker_n, 0, 4)
+    t3, i3, c3, n3 = SL.pop_item(st.shop_type, st.shop_item, st.shop_cost,
+                                 st.shop_n, idx)
+
+    # Cards entering player_state.deck: pack-verb opens _open_pack on ANY
+    # item (3 cards for a Standard Pack, else 1, shop.py:150-157); card-verb
+    # appends the single card (shop.py:194-195).
+    std_pack = (itype == SL.IT_PACK) & (item == SL.PACK_STANDARD)
+    new_cards = jnp.where(is_pack_verb, jnp.where(std_pack, 3, 1),
+                          jnp.where(is_card_verb, 1, 0))
+
+    # Joker acquisition: the env layer appends the purchased JOKER item
+    # regardless of verb or slot count (v2:178-183); joker-verb buys also
+    # go through shop.step's 5-cap which only affects the reward.
+    add_joker = itype == SL.IT_JOKER
+    jpos = jnp.clip(st.joker_n, 0, 7)
+    can_add = add_joker & (st.joker_n < 8)
+    # Voucher reaches the voucher list only through the voucher verb
+    # (pack-verb buys of a voucher just open it as a 'pack').
+    add_voucher = (action >= A_VOUCHER) & (itype == SL.IT_VOUCHER)
+
     bought = st.replace(
         chips=st.chips - cost_i,
         shop_type=t3, shop_item=i3, shop_cost=c3, shop_n=n3,
-        jokers=jnp.where(itype == SL.IT_JOKER, st.jokers.at[jpos].set(item), st.jokers),
-        joker_n=st.joker_n + jnp.where(itype == SL.IT_JOKER, 1, 0),
-        vouchers=jnp.where(itype == SL.IT_VOUCHER,
+        purchased_cards=st.purchased_cards + new_cards,
+        jokers=jnp.where(can_add, st.jokers.at[jpos].set(item), st.jokers),
+        joker_n=st.joker_n + jnp.where(can_add, 1, 0),
+        vouchers=jnp.where(add_voucher,
                            st.vouchers | (jnp.uint32(1) << item.astype(jnp.uint32)),
                            st.vouchers))
     bought = jax.tree.map(lambda a, b: jnp.where(ok, a, b), bought, st)
-    r_buy = jnp.where(ok, 0.0, -1.0)
+    # shop.step returns -1 for a joker-verb buy with 5+ jokers held (after
+    # charging, shop.py:196-198); otherwise 0.
+    r_buy = jnp.where(~ok, -1.0,
+                      jnp.where(is_joker_verb & (st.joker_n >= 5), -1.0, 0.0))
 
     is_skip = action == A_SKIP
     is_reroll = action == A_REROLL
@@ -241,18 +275,17 @@ def step(st: MacroEnvState, action):
 
 
 def action_mask(st: MacroEnvState):
+    """v2._mask (v2:304-316): SKIP + REROLL unconditionally; BUY_PACK_BASE+i
+    for every affordable inventory slot regardless of item type (slot 8's id
+    20 collides with BUY_JOKER_BASE — bug-faithful)."""
     ids = jnp.arange(ACTION_SPACE_SIZE)
     play = (ids <= 5) | ((ids >= 6) & (ids <= 8) & (st.discards_left > 0))
     slots = jnp.arange(SL.SHOP_SLOTS)
     afford = (slots < st.shop_n) & (st.shop_cost <= st.chips)
     shop = jnp.zeros(ACTION_SPACE_SIZE, bool)
     shop = shop.at[A_SKIP].set(True)
-    rcost, _ = SL.reroll_charge(st.reroll_base, st.ante, st.vouchers)
-    shop = shop.at[A_REROLL].set(st.chips >= rcost)
-    base_of = jnp.where(st.shop_type == SL.IT_PACK, A_PACK,
-                        jnp.where(st.shop_type == SL.IT_JOKER, A_JOKER,
-                                  jnp.where(st.shop_type == SL.IT_CARD, A_CARD, A_VOUCHER)))
-    aid = jnp.clip(base_of + slots, 0, ACTION_SPACE_SIZE - 1)
+    shop = shop.at[A_REROLL].set(True)
+    aid = jnp.clip(A_PACK + slots, 0, ACTION_SPACE_SIZE - 1)
     shop = shop.at[aid].max(afford)
     return jnp.where(st.phase == PHASE_PLAY, play, shop) & ~st.done
 
@@ -260,11 +293,10 @@ def action_mask(st: MacroEnvState):
 def observe(st: MacroEnvState):
     """Reference obs dict (balatro_env_v2.py:79-93): sim card codes + hand
     possibility flags."""
-    from balatro_gym_tpu.ops.hand_eval import rank_counts, suit_counts
+    from balatro_gym_tpu.ops.hand_eval import rank_counts
 
     valid = jnp.ones(HAND, bool)
     rc = rank_counts(st.hand_rank, valid)
-    sc = suit_counts(st.hand_suit, valid)
     return {
         "hand": C.encode_sim(st.hand_rank, st.hand_suit).astype(jnp.int32),
         "chips": st.chips,
@@ -273,12 +305,18 @@ def observe(st: MacroEnvState):
         "ante": st.ante,
         "hands_left": st.hands_left,
         "discards_left": st.discards_left,
-        "joker_slots": jnp.where(jnp.arange(5) < st.joker_n, st.jokers, -1),
-        "has_pair": jnp.any(rc == 2).astype(jnp.int32),
-        "has_two_pair": (jnp.sum(rc == 2) >= 2).astype(jnp.int32),
-        "has_three_kind": jnp.any(rc == 3).astype(jnp.int32),
-        "has_straight": jnp.zeros((), jnp.int32),  # matches ref flag logic gap
-        "has_flush": jnp.any(sc >= 5).astype(jnp.int32),
+        "joker_slots": jnp.where(jnp.arange(5) < st.joker_n, st.jokers[:5], -1),
+        # Flags per evaluate_hand over the 8-card hand: the cascade makes
+        # pair/trips fire for any >= count; Two Pair needs the exact-count
+        # condition; flush/straight detection bails on len(hand)>5 so those
+        # flags are ALWAYS 0 in the reference (balatro_sim.py:128-161).
+        "has_pair": jnp.any(rc >= 2).astype(jnp.int32),
+        "has_two_pair": ((jnp.sum(rc == 2) == 2)
+                         | ((jnp.sum(rc == 3) == 1)
+                            & (jnp.sum(rc == 2) == 1))).astype(jnp.int32),
+        "has_three_kind": jnp.any(rc >= 3).astype(jnp.int32),
+        "has_straight": jnp.zeros((), jnp.int32),
+        "has_flush": jnp.zeros((), jnp.int32),
     }
 
 

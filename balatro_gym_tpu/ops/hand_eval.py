@@ -171,17 +171,36 @@ def macro_select(ranks, suits, valid, strategy):
         csum = jnp.cumsum(valid.astype(jnp.int32))
         return valid & (csum <= k)
 
-    e3, e2 = (rc == 3), (rc == 2)
-    p1 = _top_rank_where(e2)
-    p2 = _top_rank_where(e2 & (_R != p1))
-    t1 = _top_rank_where(e3)
-    has_pair = jnp.any(e2)
-    has_2pair = jnp.sum(e2) >= 2
-    has_trips = jnp.any(e3)
+    def first_k_of_rank(rank, k):
+        m = (rmask == rank) & valid
+        return m & (jnp.cumsum(m.astype(jnp.int32)) <= k)
 
-    m_pair = jnp.where(has_pair, (rmask == p1) & valid, first_k(2))
-    m_2pair = jnp.where(has_2pair, ((rmask == p1) | (rmask == p2)) & valid, first_k(4))
-    m_trips = jnp.where(has_trips, (rmask == t1) & valid, first_k(3))
+    # The reference CASCADES groups (balatro_sim.py:355-364): the 'Pair'
+    # entry is overwritten with the top 2 of the 3-kind entry, which itself
+    # cascades from 4/5-kind — so rank precedence for pair/trips targets is
+    # rc==5 > rc==4 > rc==3 > rc==2.
+    e5, e4, e3, e2 = (rc == 5), (rc == 4), (rc == 3), (rc == 2)
+    r5, r4, r3, r2 = (_top_rank_where(m) for m in (e5, e4, e3, e2))
+    has5, has4, has3, has2 = (jnp.any(m) for m in (e5, e4, e3, e2))
+
+    pair_rank = jnp.where(has5, r5, jnp.where(has4, r4, jnp.where(has3, r3, r2)))
+    m_pair = jnp.where(has5 | has4 | has3 | has2,
+                       first_k_of_rank(pair_rank, 2), first_k(2))
+    trips_rank = jnp.where(has5, r5, jnp.where(has4, r4, r3))
+    m_trips = jnp.where(has5 | has4 | has3,
+                        first_k_of_rank(trips_rank, 3), first_k(3))
+
+    # Two Pair entry exists iff EXACTLY two exact-pairs, or one exact-trips
+    # plus one exact-pair (pair+trips = 5 cards, balatro_sim.py:331-343).
+    n2 = jnp.sum(e2)
+    n3 = jnp.sum(e3)
+    p1 = r2
+    p2 = _top_rank_where(e2 & (_R != p1))
+    two_pairs = ((rmask == p1) | (rmask == p2)) & valid
+    pair_plus_trips = ((rmask == p1) | (rmask == r3)) & valid
+    has_2pair = (n2 == 2) | ((n3 == 1) & (n2 == 1))
+    m_2pair = jnp.where(n2 == 2, two_pairs,
+                        jnp.where(has_2pair, pair_plus_trips, first_k(4)))
 
     sc = suit_counts(suits, valid)
     n = jnp.sum(valid)

@@ -111,7 +111,7 @@ def _joker_pass(t: JT.JokerTables, jokers, ranks, suits, smask, valid, ht,
     kb, km = jax.random.split(key)
     blood_j = (jokers == JT.J_BLOODSTONE) & jvalid
     hearts = smask & (suits == 2)
-    coin = jax.random.uniform(kb, (MAX_JOKERS, ranks.shape[-1])) < 0.5
+    coin = jax.random.uniform(kb, (jokers.shape[-1], ranks.shape[-1])) < 0.5
     e2 = e2 + jnp.sum((blood_j[:, None] & hearts[None, :] & coin).astype(f32))
 
     # ---- main scoring ----
@@ -168,7 +168,9 @@ def score_sim(ranks, suits, valid, enh, ed, seal, base_value, jokers,
         enh/ed/seal: [N] modifier channels (core.cards enums).
         base_value: [N] card chip values (fixture cards use A=11,
             balatro_sim_test.py:16-24).
-        jokers: [5] joker ids (0 = empty).
+        jokers: [J] joker ids (0 = empty).
+        deck_size: len(game_state['deck']) in the SIM path = number of
+            PURCHASED cards (balatro_sim.py:553), NOT the draw pile.
         key: PRNG key for the stochastic effects (lucky money, Bloodstone,
             Misprint).
 
@@ -207,10 +209,19 @@ def score_sim(ranks, suits, valid, enh, ed, seal, base_value, jokers,
     lucky_roll = jax.random.uniform(k_lucky, valid.shape) < 0.2
     money += jnp.sum(jnp.where(smask & (enh == C.Enhancement.LUCKY) & lucky_roll, 1, 0)).astype(jnp.int32)
 
+    # BUG-FAITHFUL joker context: the sim pipeline's game_state
+    # (_create_game_state, balatro_sim.py:549-559) has NO 'hands_left' /
+    # 'discards_left' keys and its 'deck' is the PURCHASED-cards list — so
+    # Acrobat (get('hands_left',1)==1) and Mystic Summit
+    # (get('discards_left',0)==0) ALWAYS fire, Banner contributes 0, and
+    # Blue Joker counts only purchased cards (the `deck_size` argument here).
+    # The real hands/discards arguments are accepted for API symmetry with
+    # the env path but deliberately unused.
+    del hands_left, discards_left
     jc, jm, jx, jmoney = _joker_pass(
         t, jokers, ranks, suits, smask, valid, ht,
         t.chips_hand_sim, t.mult_hand_sim, t.x2_hand_sim, t.x3_hand_sim,
-        hands_left, discards_left, deck_size, k_jok,
+        jnp.int32(1), jnp.int32(0), deck_size, k_jok,
     )
     chips += jc
     add += jm

@@ -170,9 +170,10 @@ def score_sim_oracle(cards, enh, ed, seal, jokers, hands_left, discards_left,
             money += 3
         if seal[i] == Seal.GOLD:
             money += 3
+    # Sim game_state lacks hands_left/discards_left; deck = purchased cards
+    # (balatro_sim.py:549-559): Acrobat/Mystic always fire, Banner is 0.
     jc, jm, jx, jmoney = _joker_effects(
-        jokers, cards, scoring, SIM_HAND_NAMES[int(ht)], hands_left,
-        discards_left, deck_size)
+        jokers, cards, scoring, SIM_HAND_NAMES[int(ht)], 1, 0, deck_size)
     chips += jc
     add += jm
     x *= jx

@@ -15,17 +15,25 @@ import numpy as np
 
 
 def evaluate_policy(policy_fn: Callable, params: Any, hooks, n_episodes: int = 64,
-                    max_steps: int = 256, seed: int = 0, greedy: bool = True):
+                    max_steps: int = 256, seed: int = 0, greedy: bool = True,
+                    obs_stats=None):
     """Run one episode per env lane; returns aggregate stats.
 
     policy_fn(params, obs [B,D], mask [B,A]) -> (logits, value).
+    obs_stats: pass TrainState.obs_stats when the policy was trained with
+    the default observation normalization — eval inputs must match the
+    training distribution.
     """
+    from balatro_gym_tpu.train.normalize import normalize
+
     B = n_episodes
     states = jax.vmap(hooks.reset)(jax.random.split(jax.random.key(seed), B))
 
     def body(carry, k):
         sts, ep_rew, ep_len, done_flag = carry
         obs = jax.vmap(hooks.observe)(sts)
+        if obs_stats is not None:
+            obs = normalize(obs_stats, obs)
         mask = jax.vmap(hooks.action_mask)(sts)
         logits, _ = policy_fn(params, obs, mask)
         action = jnp.where(greedy, jnp.argmax(logits, -1),

@@ -327,3 +327,21 @@ def test_observe_keys(step):
     assert obs["action_mask"].shape == (60,)
     hand = np.asarray(obs["hand"])
     assert (hand >= 0).all() and (hand < 52).all()
+
+
+def test_joker_buy_with_full_slots_still_charges(step):
+    """Bug-faithful: shop deducts cost and pops the item BEFORE the
+    joker-slots check (shop.py:186-198)."""
+    st, _, _ = step(fresh(), jnp.int32(45))
+    st = st.replace(round_chips_scored=jnp.int64(299))
+    st, _, _ = select_and(step, st, [0], Action.PLAY_HAND)
+    st = st.replace(money=jnp.int32(1000),
+                    jokers=jnp.asarray([1, 6, 7, 8, 9], jnp.int32),
+                    joker_n=jnp.int32(5))
+    cost = int(st.shop_cost[3])
+    n0 = int(st.shop_n)
+    st, r, _ = step(st, jnp.int32(Action.SHOP_BUY_BASE + 3))  # a joker slot
+    assert float(r) == -1.0
+    assert int(st.money) == 1000 - cost   # charged anyway
+    assert int(st.shop_n) == n0 - 1       # item popped anyway
+    assert int(st.joker_n) == 5           # joker NOT added

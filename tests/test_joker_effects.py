@@ -42,29 +42,34 @@ def test_suit_jokers_fire_on_scoring_suit():
     assert s == 16
 
 
-def test_banner_chips_per_discard():
-    # +30 chips per discard left: (16 + 90) * 1.
+def test_banner_dead_in_sim_context():
+    # Sim game_state lacks 'discards_left' -> get(...,0): Banner adds 0
+    # (balatro_sim.py:549-559 + complete_joker_effects.py:50).
     s, _ = score(ACE, jokers=[JT.J_BANNER], discards_left=3)
-    assert s == 106
+    assert s == 16
 
 
-def test_blue_joker_deck_chips():
-    # +2 chips per deck card: (16 + 88) * 1.
+def test_blue_joker_purchased_deck_chips():
+    # 'deck' in the sim context = PURCHASED cards: +2 per purchased card.
     s, _ = score(ACE, jokers=[JT.J_BLUE_JOKER], deck=44)
     assert s == 104
+    s, _ = score(ACE, jokers=[JT.J_BLUE_JOKER], deck=0)
+    assert s == 16
 
 
 def test_abstract_per_joker():
-    # +3 mult per held joker (2 held): 16 * (1 + 6) = 112.
+    # +3 mult per held joker (2 held): 16 * (1 + 6) = 112 (Banner adds 0
+    # in the sim context).
     s, _ = score(ACE, jokers=[JT.J_ABSTRACT, JT.J_BANNER], discards_left=0)
     assert s == 16 * 7
 
 
-def test_mystic_summit_zero_discards():
+def test_mystic_summit_always_fires_in_sim_context():
+    # No 'discards_left' key -> get(...,0)==0 is always true in the sim path.
     s, _ = score(ACE, jokers=[JT.J_MYSTIC_SUMMIT], discards_left=0)
     assert s == 16 * 16
     s, _ = score(ACE, jokers=[JT.J_MYSTIC_SUMMIT], discards_left=1)
-    assert s == 16
+    assert s == 16 * 16
 
 
 def test_half_joker_small_hands():
@@ -75,11 +80,12 @@ def test_half_joker_small_hands():
     assert s == 38
 
 
-def test_acrobat_last_hand():
+def test_acrobat_always_fires_in_sim_context():
+    # No 'hands_left' key -> get(...,1)==1 is always true in the sim path.
     s, _ = score(ACE, jokers=[JT.J_ACROBAT], hands_left=1)
     assert s == 16 * 3
     s, _ = score(ACE, jokers=[JT.J_ACROBAT], hands_left=2)
-    assert s == 16
+    assert s == 16 * 3
 
 
 def test_baron_kings_multiplier():
