@@ -40,11 +40,9 @@ def _throughput(device, n_envs, n_steps, *, jokers=(1, 31, 34, 48, 72)):
 
 
 def main():
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
+    # Note: the axon TPU backend's executables are not persistently
+    # cacheable, so the multi-minute TPU compile happens every run; the two
+    # host cores make overlapping the CPU baseline a net loss — sequential.
     default = jax.devices()[0]
     value = _throughput(default, N_ENVS, N_STEPS)
 
