@@ -10,7 +10,10 @@ are REPLICATED, and the only collectives are the gradient/metric
 ``shard_map`` (not pjit auto-sharding) is used for the train step so the
 per-shard program is exactly the single-chip program: no accidental
 cross-shard gathers from minibatch permutation; collectives appear only where
-written.
+written. Minibatch shuffling is deliberately SHARD-LOCAL (each shard permutes
+its own rollout) — a global shuffle would need an ``all_gather`` of the whole
+batch per epoch; with i.i.d. env lanes the local shuffle is statistically
+equivalent and keeps the only collectives the gradient/metric reductions.
 
 Multi-host: call :func:`init_distributed` first (jax.distributed.initialize),
 then build the mesh over ``jax.devices()`` — env shards then live host-local
