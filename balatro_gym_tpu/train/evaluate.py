@@ -40,7 +40,7 @@ def evaluate_policy(policy_fn: Callable, params: Any, hooks, n_episodes: int = 6
                            jax.random.categorical(k, logits))
         sts2, rew, done = jax.vmap(hooks.step_autoreset)(sts, action)
         live = ~done_flag
-        ep_rew = ep_rew + jnp.where(live, rew, 0.0)
+        ep_rew = ep_rew + jnp.where(live, rew, 0.0).astype(jnp.float32)
         ep_len = ep_len + live.astype(jnp.int32)
         done_flag = done_flag | done
         return (sts2, ep_rew, ep_len, done_flag), None
