@@ -378,9 +378,17 @@ def use_consumable(st, idx):
     # Immolate: destroy 5 random alive cards, +$20 (consumables.py:518-530).
     do_immo = cid == IMMOLATE
     g = jnp.where(st.card_alive, jax.random.gumbel(k3, (fe.MAX_DECK,)), -jnp.inf)
-    top_vals, _ = jax.lax.top_k(g, 5)
-    kth = top_vals[jnp.minimum(5, jnp.sum(st.card_alive)).astype(jnp.int32) - 1]
-    immo_kill = st.card_alive & (g >= kth)
+    # Iterated argmax (top_k lowers to a sort on TPU; this runs every step).
+    n_kill = jnp.minimum(5, jnp.sum(st.card_alive))
+    immo_kill = jnp.zeros(fe.MAX_DECK, bool)
+    gk = g
+    for i in range(5):
+        j = jnp.argmax(gk)
+        # .max keeps an earlier True if a degenerate all(-inf) argmax
+        # re-picks slot 0 when fewer than 5 cards are alive.
+        immo_kill = immo_kill.at[j].max(i < n_kill)
+        gk = gk.at[j].set(-jnp.inf)
+    immo_kill = immo_kill & st.card_alive
     immo_st = _destroy_slots(st, immo_kill)
     immo_st = immo_st.replace(money=immo_st.money + 20)
     st = jax.tree.map(lambda a, b: jnp.where(do_immo, a, b), immo_st, st)

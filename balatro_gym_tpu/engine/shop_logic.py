@@ -88,7 +88,14 @@ def generate_inventory(key, ante, owned_jokers, vouchers):
     eligible = _ELIGIBLE & ~owned_oh
     g = jax.random.gumbel(k_jok, (NUM_JOKERS,))
     g = jnp.where(eligible, g, -jnp.inf)
-    _, jids = jax.lax.top_k(g, 3)
+    # Iterated argmax instead of top_k: top_k lowers to a full sort on TPU,
+    # and this runs inside every env step (shop regeneration branch).
+    jids = []
+    for _ in range(3):
+        j = jnp.argmax(g)
+        jids.append(j)
+        g = g.at[j].set(-jnp.inf)
+    jids = jnp.stack(jids)
     types = types.at[3:6].set(IT_JOKER)
     items = items.at[3:6].set(jids.astype(jnp.int32))
     costs = costs.at[3:6].set(

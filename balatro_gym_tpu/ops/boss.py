@@ -84,11 +84,13 @@ def on_hand_drawn(key, boss_id, first_hand, ranks, present):
     n = ranks.shape[0]
     k_hook, k_wheel = jax.random.split(key)
 
-    # Hook: 2 distinct random positions among present cards.
+    # Hook: 2 distinct random positions among present cards (iterated
+    # argmax — argsort lowers to a sort on TPU and this runs every step).
     g = jnp.where(present, jax.random.gumbel(k_hook, (n,)), -jnp.inf)
-    order = jnp.argsort(-g)
-    rank_of = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
-    hook_pick = present & (rank_of < 2) & (jnp.sum(present) >= 2)
+    j1 = jnp.argmax(g)
+    j2 = jnp.argmax(g.at[j1].set(-jnp.inf))
+    hook_pick = (jnp.zeros(n, bool).at[j1].set(True).at[j2].set(True)
+                 & present & (jnp.sum(present) >= 2))
 
     wheel = present & (jax.random.uniform(k_wheel, (n,)) < 1.0 / 7.0)
     house = present & first_hand
