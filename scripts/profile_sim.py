@@ -36,16 +36,20 @@ JOKERS = (1, 31, 34, 48, 72)
 
 
 def time_rollout(name, rollout_fn, jokers=JOKERS):
-    fn = jax.jit(rollout_fn, static_argnums=(1, 2))
+    # Fresh lambda per variant: jax caches traced jaxprs on function object
+    # identity, so re-jitting the same global silently ignores monkeypatches.
+    # Sync via data fetch: the axon backend's block_until_ready can return
+    # before remote execution completes.
+    fn = jax.jit(lambda k: rollout_fn(k, N_ENVS, N_STEPS, jokers))
     t0 = time.perf_counter()
-    out = fn(jax.random.key(0), N_ENVS, N_STEPS, jokers)
-    jax.block_until_ready(out)
+    out = fn(jax.random.key(0))
+    jax.device_get(out)
     compile_s = time.perf_counter() - t0
     reps, best = 3, float("inf")
     for i in range(reps):
         t0 = time.perf_counter()
-        out = fn(jax.random.key(1 + i), N_ENVS, N_STEPS, jokers)
-        jax.block_until_ready(out)
+        out = fn(jax.random.key(1 + i))
+        jax.device_get(out)
         best = min(best, time.perf_counter() - t0)
     sps = N_ENVS * N_STEPS / best
     print(json.dumps({"variant": name, "steps_per_s": round(sps),
