@@ -125,3 +125,53 @@ def train_distributed(num_updates: int = 8, cfg: PPOConfig | None = None,
             print(f"update {i + 1}: " +
                   str({k: float(v) for k, v in metrics.items()}))
     return ts, metrics
+
+
+def rollout_fused_sharded(seed, n_envs: int, n_steps: int, jokers,
+                          mesh: Mesh | None = None, actions=None,
+                          interpret: bool = False):
+    """Data-parallel fused-kernel rollout (ops/fused_rollout.py) over the
+    mesh's data axis: each device runs the whole-rollout Pallas kernel on its
+    env shard; no collectives are needed (per-env outputs stay sharded).
+
+    In sampling mode each shard folds its axis index into the seed; in
+    fed-actions mode results are bit-identical to the single-device kernel
+    (tests/test_fused_rollout.py::test_sharded_matches_single).
+
+    Returns the same dict as :func:`rollout_fused`, with [n_envs] leaves
+    sharded over the mesh.
+    """
+    import jax.numpy as jnp
+
+    from balatro_gym_tpu.ops.fused_rollout import rollout_fused
+
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    assert n_envs % n_dev == 0
+    local = n_envs // n_dev
+
+    jok = jnp.asarray(jokers, jnp.int32)
+    if jok.ndim == 1:
+        jok = jnp.broadcast_to(jok, (n_envs, jok.shape[0]))
+    use_actions = actions is not None
+    if use_actions:
+        acts = jnp.asarray(actions, jnp.int32)
+        if acts.ndim == 1:
+            acts = jnp.broadcast_to(acts[:, None], (n_steps, n_envs))
+    else:  # dummy; ignored by the kernel in sampling mode
+        acts = jnp.zeros((n_steps, n_envs), jnp.int32)
+
+    def shard_body(jok_l, acts_l):
+        shard_seed = jnp.asarray(seed, jnp.int32) + jax.lax.axis_index(DATA_AXIS)
+        return rollout_fused(shard_seed, local, n_steps, jok_l,
+                             actions=acts_l if use_actions else None,
+                             interpret=interpret)
+
+    out_spec = {k: P(DATA_AXIS) for k in
+                ("hand_rank", "hand_suit", "deck_n", "money", "hands_left",
+                 "discards_left", "score", "episodes", "total_reward")}
+    return jax.jit(jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(None, DATA_AXIS)),
+        out_specs=out_spec, check_vma=False,
+    ))(jok, acts)

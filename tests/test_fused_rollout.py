@@ -78,3 +78,27 @@ def test_fused_matches_jnp_engine_bit_exact():
             err_msg=field)
     np.testing.assert_array_equal(np.asarray(out["episodes"]), eps)
     np.testing.assert_allclose(np.asarray(out["total_reward"]), tot, atol=2e-3)
+
+
+def test_sharded_matches_single():
+    """The mesh-sharded fused rollout (parallel/mesh.py) with fed actions is
+    bit-identical to the single-device kernel — each virtual CPU device
+    runs the kernel on its env shard (2-device mesh keeps interpret-mode
+    wall time down; the mapping is device-count-agnostic)."""
+    from jax.sharding import Mesh
+
+    from balatro_gym_tpu.parallel import mesh as M
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), (M.DATA_AXIS,))
+    n_envs = 2 * TILE  # one tile per device
+    sets = np.asarray(JOKER_SETS, np.int32)
+    jok = sets[np.arange(n_envs) % len(sets)]
+    rng = np.random.default_rng(5)
+    acts = rng.integers(0, 5, (4, n_envs)).astype(np.int32)
+
+    sharded = M.rollout_fused_sharded(0, n_envs, 4, jok, mesh=mesh,
+                                      actions=acts, interpret=True)
+    single = rollout_fused(0, n_envs, 4, jok, actions=acts, interpret=True)
+    for k in ("hand_rank", "hand_suit", "score", "money", "episodes"):
+        np.testing.assert_array_equal(np.asarray(sharded[k]),
+                                      np.asarray(single[k]), err_msg=k)
