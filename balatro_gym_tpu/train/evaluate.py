@@ -29,8 +29,10 @@ def evaluate_policy(policy_fn: Callable, params: Any, hooks, n_episodes: int = 6
     B = n_episodes
     states = jax.vmap(hooks.reset)(jax.random.split(jax.random.key(seed), B))
 
+    has_ante = hasattr(states, "ante")  # progression stat for the full env
+
     def body(carry, k):
-        sts, ep_rew, ep_len, done_flag = carry
+        sts, ep_rew, ep_len, done_flag, max_ante = carry
         obs = jax.vmap(hooks.observe)(sts)
         if obs_stats is not None:
             obs = normalize(obs_stats, obs)
@@ -42,19 +44,25 @@ def evaluate_policy(policy_fn: Callable, params: Any, hooks, n_episodes: int = 6
         live = ~done_flag
         ep_rew = ep_rew + jnp.where(live, rew, 0.0).astype(jnp.float32)
         ep_len = ep_len + live.astype(jnp.int32)
+        if has_ante:  # track per-lane peak ante while the episode is live
+            max_ante = jnp.maximum(max_ante, jnp.where(live, sts.ante, 0))
         done_flag = done_flag | done
-        return (sts2, ep_rew, ep_len, done_flag), None
+        return (sts2, ep_rew, ep_len, done_flag, max_ante), None
 
     init = (states, jnp.zeros(B, jnp.float32), jnp.zeros(B, jnp.int32),
-            jnp.zeros(B, bool))
-    (states, ep_rew, ep_len, done_flag), _ = jax.lax.scan(
+            jnp.zeros(B, bool), jnp.zeros(B, jnp.int32))
+    (states, ep_rew, ep_len, done_flag, max_ante), _ = jax.lax.scan(
         body, init, jax.random.split(jax.random.key(seed + 1), max_steps))
-    return {
+    stats = {
         "episodes": int(np.sum(np.asarray(done_flag))),
         "mean_reward": float(np.mean(np.asarray(ep_rew))),
         "mean_length": float(np.mean(np.asarray(ep_len))),
         "max_reward": float(np.max(np.asarray(ep_rew))),
     }
+    if has_ante:
+        stats["mean_ante"] = float(np.mean(np.asarray(max_ante)))
+        stats["max_ante"] = int(np.max(np.asarray(max_ante)))
+    return stats
 
 
 def transcript_episode(env, select_action, max_steps: int = 200) -> list[str]:
