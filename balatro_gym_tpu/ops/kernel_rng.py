@@ -139,3 +139,33 @@ def randint(k1, k2, minval, maxval):
     mult = (mult * mult) % span
     off = ((higher % span) * mult + lower % span) % span
     return jnp.asarray(minval, jnp.int32) + lax.convert_element_type(off, jnp.int32)
+
+
+def rank_permutation(k1, k2, n: int):
+    """Uniform random permutation of 0..n-1 per key, kernel-friendly.
+
+    Draws n iid 32-bit words (the exact draws of ``jax.random.bits(key,
+    (n,))``) and ranks them with an index tie-break: ``perm[i]`` is the
+    position assigned to element i. Fully parallel (n^2 elementwise
+    compares), no sort/scatter — usable inside a Pallas kernel where
+    ``jax.random.permutation``'s sort-based shuffle cannot go. Uniform up to
+    tie probability ~n^2 / 2^33 (~3e-7 for n=52); ties resolve
+    deterministically, so same key => same permutation everywhere.
+
+    This is the fused full-env kernel's deck-shuffle primitive
+    (docs/FUSED_FULL_ENV_DESIGN.md): NOT bit-identical to the jnp engine's
+    ``jax.random.permutation`` (PARITY-style deviation for the fused path).
+
+    Returns a list of n int32 arrays shaped like k1.
+    """
+    u = [random_bits32(k1, k2, i) for i in range(n)]
+    perm = []
+    for i in range(n):
+        rank = jnp.zeros(jnp.shape(k1), jnp.int32)
+        for j in range(n):
+            if j == i:
+                continue
+            less = (u[j] < u[i]) | ((u[j] == u[i]) & (j < i))
+            rank = rank + less.astype(jnp.int32)
+        perm.append(rank)
+    return perm

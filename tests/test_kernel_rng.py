@@ -130,3 +130,27 @@ def test_inside_pallas_kernel(keys):
     np.testing.assert_array_equal(bits, ref_bits[:, 0])
     np.testing.assert_array_equal(uni.astype(np.float32), ref_uni)
     np.testing.assert_array_equal(ri, ref_ri)
+
+
+def test_rank_permutation():
+    """Validity (bijective), determinism, and rough uniformity."""
+    base = jax.random.key(9)
+    ks = jax.vmap(lambda i: jax.random.fold_in(base, i))(jnp.arange(N))
+    kd = jax.vmap(jax.random.key_data)(ks)
+    k1 = jnp.asarray(kd[:, 0], jnp.uint32)
+    k2 = jnp.asarray(kd[:, 1], jnp.uint32)
+
+    perm52 = np.stack([np.asarray(p) for p in KR.rank_permutation(k1, k2, 52)])
+    # Bijective: every key's 52 ranks are a permutation of 0..51.
+    assert (np.sort(perm52, axis=0) == np.arange(52)[:, None]).all()
+    # Deterministic: recompute equals.
+    again = np.stack([np.asarray(p) for p in KR.rank_permutation(k1, k2, 52)])
+    np.testing.assert_array_equal(perm52, again)
+
+    # Uniformity (n=8 over N keys): each (element, position) cell should be
+    # ~N/8; allow 5 sigma.
+    perm8 = np.stack([np.asarray(p) for p in KR.rank_permutation(k1, k2, 8)])
+    counts = np.stack([np.bincount(perm8[i], minlength=8) for i in range(8)])
+    expected = N / 8
+    sigma = (N * (1 / 8) * (7 / 8)) ** 0.5
+    assert np.all(np.abs(counts - expected) < 5 * sigma), counts
