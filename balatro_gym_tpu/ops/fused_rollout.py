@@ -425,7 +425,7 @@ def _kernel(scal_ref, ranktab_ref, suittab_ref, handtab_ref, seed_ref,
         for i in range(1, 13):  # e3 <= 12 (5 joker slots, all x3 sources)
             p3 = jnp.where(e3 >= i, p3 * 3.0, p3)
         p15 = jnp.ones((SUB, LANES), f32)
-        for i in range(1, 9):   # e15 <= 8 (Barons x Kings)
+        for i in range(1, 21):  # e15 = #Barons (<=5 dup slots) x #Kings (<=4) <= 20
             p15 = jnp.where(e15 >= i, p15 * 1.5, p15)
         x = x * p3 * p15
 

@@ -134,8 +134,15 @@ def rollout_fused_sharded(seed, n_envs: int, n_steps: int, jokers,
     mesh's data axis: each device runs the whole-rollout Pallas kernel on its
     env shard; no collectives are needed (per-env outputs stay sharded).
 
-    In sampling mode each shard folds its axis index into the seed; in
-    fed-actions mode results are bit-identical to the single-device kernel
+    In sampling mode each shard offsets the seed by ``axis_index *
+    n_local_tiles`` — the kernel seeds tile t of a shard with ``seed +
+    program_id(t)`` (ops/fused_rollout.py), so striding by the local tile
+    count gives every (shard, tile) pair a distinct hardware-PRNG stream.
+    (Plain ``seed + axis_index`` would alias shard s tile t with shard s+1
+    tile t-1 whenever a shard holds >1 tile.) Callers running several
+    sampled rollouts should likewise space their base seeds by
+    ``n_envs // fused_rollout.TILE``. In fed-actions mode results are
+    bit-identical to the single-device kernel
     (tests/test_fused_rollout.py::test_sharded_matches_single).
 
     Returns the same dict as :func:`rollout_fused`, with [n_envs] leaves
@@ -143,12 +150,13 @@ def rollout_fused_sharded(seed, n_envs: int, n_steps: int, jokers,
     """
     import jax.numpy as jnp
 
-    from balatro_gym_tpu.ops.fused_rollout import rollout_fused
+    from balatro_gym_tpu.ops.fused_rollout import TILE, rollout_fused
 
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
     assert n_envs % n_dev == 0
     local = n_envs // n_dev
+    n_local_tiles = max(1, local // TILE)
 
     jok = jnp.asarray(jokers, jnp.int32)
     if jok.ndim == 1:
@@ -162,7 +170,8 @@ def rollout_fused_sharded(seed, n_envs: int, n_steps: int, jokers,
         acts = jnp.zeros((n_steps, n_envs), jnp.int32)
 
     def shard_body(jok_l, acts_l):
-        shard_seed = jnp.asarray(seed, jnp.int32) + jax.lax.axis_index(DATA_AXIS)
+        shard_seed = (jnp.asarray(seed, jnp.int32)
+                      + jax.lax.axis_index(DATA_AXIS) * n_local_tiles)
         return rollout_fused(shard_seed, local, n_steps, jok_l,
                              actions=acts_l if use_actions else None,
                              interpret=interpret)

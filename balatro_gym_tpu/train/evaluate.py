@@ -47,6 +47,12 @@ def evaluate_policy(policy_fn: Callable, params: Any, hooks, n_episodes: int = 6
         if has_ante:  # track per-lane peak ante while the episode is live
             max_ante = jnp.maximum(max_ante, jnp.where(live, sts.ante, 0))
         done_flag = done_flag | done
+        if has_ante:
+            # Also fold in the post-step state so an ante advance on the
+            # final scan step is observed; lanes whose episode just ended
+            # are excluded (sts2 is the autoreset state there).
+            max_ante = jnp.maximum(max_ante,
+                                   jnp.where(~done_flag, sts2.ante, 0))
         return (sts2, ep_rew, ep_len, done_flag, max_ante), None
 
     init = (states, jnp.zeros(B, jnp.float32), jnp.zeros(B, jnp.int32),
