@@ -376,18 +376,22 @@ def use_consumable(st, idx):
     success |= do_sigil | do_ouija
 
     # Immolate: destroy 5 random alive cards, +$20 (consumables.py:518-530).
+    # Uniform-without-replacement via top-5 of iid uniform u32 keys (integer
+    # keys so the fused kernel replays the draws bit-exactly via
+    # ops/kernel_rng; tie/zero-key probability ~2**-32 is negligible).
     do_immo = cid == IMMOLATE
-    g = jnp.where(st.card_alive, jax.random.gumbel(k3, (fe.MAX_DECK,)), -jnp.inf)
+    g = jnp.where(st.card_alive, jax.random.bits(k3, (fe.MAX_DECK,), jnp.uint32),
+                  jnp.uint32(0))
     # Iterated argmax (top_k lowers to a sort on TPU; this runs every step).
     n_kill = jnp.minimum(5, jnp.sum(st.card_alive))
     immo_kill = jnp.zeros(fe.MAX_DECK, bool)
     gk = g
     for i in range(5):
         j = jnp.argmax(gk)
-        # .max keeps an earlier True if a degenerate all(-inf) argmax
+        # .max keeps an earlier True if a degenerate all-zero argmax
         # re-picks slot 0 when fewer than 5 cards are alive.
         immo_kill = immo_kill.at[j].max(i < n_kill)
-        gk = gk.at[j].set(-jnp.inf)
+        gk = gk.at[j].set(jnp.uint32(0))
     immo_kill = immo_kill & st.card_alive
     immo_st = _destroy_slots(st, immo_kill)
     immo_st = immo_st.replace(money=immo_st.money + 20)

@@ -81,20 +81,23 @@ def generate_inventory(key, ante, owned_jokers, vouchers):
     costs = costs.at[0:3].set(
         jnp.trunc(PACK_COSTS[pack_kind].astype(jnp.float32) * mult).astype(jnp.int32))
 
-    # Slots 3-5: three distinct unowned jokers (Gumbel top-k sample without
-    # replacement over the eligibility mask — shop.py:124-125 rng.sample).
+    # Slots 3-5: three distinct unowned jokers — top-3 of iid uniform u32
+    # keys over the eligibility mask, a uniform sample without replacement
+    # (shop.py:124-125 rng.sample). Integer keys instead of Gumbel so the
+    # fused full-env kernel can replay the identical draws bit-exactly via
+    # ops/kernel_rng (ties/zero-keys have probability ~2**-32: negligible).
     owned_oh = jnp.zeros(NUM_JOKERS, bool).at[
         jnp.clip(owned_jokers, 0, NUM_JOKERS - 1)].set(True)
     eligible = _ELIGIBLE & ~owned_oh
-    g = jax.random.gumbel(k_jok, (NUM_JOKERS,))
-    g = jnp.where(eligible, g, -jnp.inf)
+    g = jnp.where(eligible, jax.random.bits(k_jok, (NUM_JOKERS,), jnp.uint32),
+                  jnp.uint32(0))
     # Iterated argmax instead of top_k: top_k lowers to a full sort on TPU,
     # and this runs inside every env step (shop regeneration branch).
     jids = []
     for _ in range(3):
         j = jnp.argmax(g)
         jids.append(j)
-        g = g.at[j].set(-jnp.inf)
+        g = g.at[j].set(jnp.uint32(0))
     jids = jnp.stack(jids)
     types = types.at[3:6].set(IT_JOKER)
     items = items.at[3:6].set(jids.astype(jnp.int32))

@@ -84,11 +84,15 @@ def on_hand_drawn(key, boss_id, first_hand, ranks, present):
     n = ranks.shape[0]
     k_hook, k_wheel = jax.random.split(key)
 
-    # Hook: 2 distinct random positions among present cards (iterated
-    # argmax — argsort lowers to a sort on TPU and this runs every step).
-    g = jnp.where(present, jax.random.gumbel(k_hook, (n,)), -jnp.inf)
+    # Hook: 2 distinct random positions among present cards — top-2 of iid
+    # uniform u32 keys (uniform without replacement; integer keys so the
+    # fused kernel replays the draws bit-exactly via ops/kernel_rng).
+    # Iterated argmax — argsort lowers to a sort on TPU and this runs every
+    # step.
+    g = jnp.where(present, jax.random.bits(k_hook, (n,), jnp.uint32),
+                  jnp.uint32(0))
     j1 = jnp.argmax(g)
-    j2 = jnp.argmax(g.at[j1].set(-jnp.inf))
+    j2 = jnp.argmax(g.at[j1].set(jnp.uint32(0)))
     hook_pick = (jnp.zeros(n, bool).at[j1].set(True).at[j2].set(True)
                  & present & (jnp.sum(present) >= 2))
 

@@ -109,6 +109,15 @@ def split2(k1, k2):
     return (a1, a2), (b1, b2)
 
 
+def split_child(k1, k2, i):
+    """Child ``i`` of ``jax.random.split(key, n)`` for any n < 2**32
+    (prng.py:1150-1160): child i = threefry(key, iota64 hi/lo of index i).
+    ``split2`` is the n=2 special case; this generalizes to the 4-way splits
+    the engines use (shop generation, consumables)."""
+    lo = jnp.full(jnp.shape(k1), i, jnp.uint32)
+    return threefry2x32(k1, k2, jnp.zeros_like(k1), lo)
+
+
 def random_bits32(k1, k2, i=0):
     """i-th 32-bit draw of jax.random.bits(key, shape) in row-major order
     (prng.py:1183-1200): bits = y1 ^ y2 of the 64-bit iota pair (hi=0, lo=i)
@@ -127,12 +136,17 @@ def uniform_f32(bits, minval=0.0, maxval=1.0):
     return jnp.maximum(jnp.float32(minval), out)
 
 
-def randint(k1, k2, minval, maxval):
+def randint(k1, k2, minval, maxval, i=0):
     """jax.random.randint(key, shape, minval, maxval, int32), elementwise
-    over the key arrays (random.py:581-657, in-range case)."""
+    over the key arrays (random.py:581-657, in-range case).
+
+    ``i`` selects the i-th element of a shaped draw — e.g.
+    ``jax.random.randint(key, (n,), lo, hi)[i]`` equals
+    ``randint(k1, k2, lo, hi, i)``. ``minval``/``maxval`` may be arrays
+    (broadcast against the key shape) for data-dependent bounds."""
     (a1, a2), (b1, b2) = split2(k1, k2)
-    higher = random_bits32(a1, a2)
-    lower = random_bits32(b1, b2)
+    higher = random_bits32(a1, a2, i)
+    lower = random_bits32(b1, b2, i)
     span = jnp.asarray(maxval - minval, jnp.uint32)
     span = jnp.maximum(span, jnp.uint32(1))
     mult = jnp.uint32(2 ** 16) % span
