@@ -152,8 +152,11 @@ def get_blind_chips(ante, blind_idx):
     ante = jnp.asarray(ante)
     base_ante = jnp.clip(ante, 1, 8)
     base = BLIND_CHIPS_TABLE[base_ante - 1, blind_idx]
-    extra = jnp.maximum(ante - 8, 0).astype(jnp.float32)
-    return (base.astype(jnp.float64) * (1.5 ** extra)).astype(jnp.int64)
+    extra = jnp.maximum(ante - 8, 0)
+    # table dot, not lax.pow (backend-exact: core/pow_tables.py docstring)
+    from balatro_gym_tpu.core import pow_tables as PT
+    return (base.astype(jnp.float64)
+            * PT.pow15(extra, jnp.float64)).astype(jnp.int64)
 
 
 def get_blind_chips_py(ante: int, blind_idx: int) -> int:

@@ -45,6 +45,7 @@ import numpy as np
 from flax import struct
 
 from balatro_gym_tpu.core import cards as C
+from balatro_gym_tpu.core import pow_tables as PT
 from balatro_gym_tpu.core import rng as R
 from balatro_gym_tpu.core.constants import (
     Action,
@@ -408,7 +409,8 @@ def _play_hand(st: FullEnvState):
     sel10 = jnp.concatenate([sel, jnp.zeros(MAX_HAND - SEL, bool)])
     is_steel = (H10 @ (st.card_enh == C.Enhancement.STEEL).astype(jnp.float32)) > 0
     steel_held = held & ~sel10 & is_steel
-    steel_mult = C.STEEL_IN_HAND_XMULT ** jnp.sum(steel_held).astype(_F)
+    # table dot, not lax.pow (backend-exact: core/pow_tables.py docstring)
+    steel_mult = PT.pow15(jnp.sum(steel_held), _F)
     final_score = jnp.trunc(base_score.astype(_F) * steel_mult).astype(jnp.int64)
 
     # --- boss scoring ratio (balatro_env_2.py:744-755) ---

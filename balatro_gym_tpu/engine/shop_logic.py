@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from balatro_gym_tpu.core import pow_tables as PT
+
 from balatro_gym_tpu.ops.joker_tables import JOKER_BASE_COST_NP, NUM_JOKERS
 
 SHOP_SLOTS = 10
@@ -53,8 +55,12 @@ _JCOST = jnp.asarray(JOKER_BASE_COST_NP.astype(np.int32))
 
 
 def cost_mult(ante, vouchers):
-    """1.15^(ante-1), ×0.9 with Magic Trick (shop.py:105-109)."""
-    m = ANTE_COST_MULT ** (ante.astype(jnp.float32) - 1.0)
+    """1.15^(ante-1), ×0.9 with Magic Trick (shop.py:105-109).
+
+    Table dot, not lax.pow: numpy-f64-minted 1.15^k = the reference's
+    CPython float, backend-independent once rounded to f32
+    (core/pow_tables.py docstring)."""
+    m = PT.pow115(ante - 1, jnp.float32)
     has_magic = (vouchers >> V_MAGIC_TRICK) & 1
     return m * jnp.where(has_magic == 1, 0.9, 1.0)
 

@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from balatro_gym_tpu.core import pow_tables as PT
+
 N_BOSS = 29  # ids 1..28; row 0 unused
 
 (HOOK, WALL, WHEEL, HOUSE, MARK, FISH, PSYCHIC, GOAD, WATER, WINDOW, MANACLE,
@@ -136,7 +138,9 @@ def scoring_ratio(boss_id, active, base_chips, base_mult, ranks, sel,
     n_debuff = jnp.where(boss_id == PLANT, plant,
                          jnp.where(boss_id == VIOLET, violet,
                                    jnp.where(boss_id == PILLAR, pillar, 0)))
-    pen = 0.8 ** n_debuff.astype(f)
+    # table dot, not lax.pow — TPU pow(0.8, n) is approximate and flips
+    # trunc() integers across backends (core/pow_tables.py docstring)
+    pen = PT.pow08(n_debuff, f)
     c = jnp.where(n_debuff > 0, jnp.trunc(c.astype(f) * pen).astype(jnp.int64), c)
     m = jnp.where(n_debuff > 0, jnp.trunc(m.astype(f) * pen).astype(jnp.int64), m)
 

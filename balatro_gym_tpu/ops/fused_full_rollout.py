@@ -204,14 +204,30 @@ _CNT_IDS = sorted({j for j, *_ in (_NZ_IND_CHIP_RANK + _NZ_IND_MULT_RANK
 _STREAM = R.STREAM_ID
 
 
+from balatro_gym_tpu.core import pow_tables as PWT  # noqa: E402
+
+_P3_F32 = PWT.f32_list(PWT.POW3_NP)       # [16]
+_P15_F32 = PWT.f32_list(PWT.POW15_NP)     # [96]
+_P08_F32 = PWT.f32_list(PWT.POW08_NP)     # [12]
+
+
 def _pow_tables():
-    """Backend-minted pow tables shared by kernel constants and (implicitly)
-    the jnp engine, which computes the same ``lax.pow`` at runtime."""
-    a115 = [float(x) for x in np.asarray(
-        jnp.float32(SL.ANTE_COST_MULT) ** jnp.arange(100, dtype=f32))]
-    a15 = [float(x) for x in np.asarray(
-        jnp.float32(1.5) ** jnp.arange(93, dtype=f32))]
+    """f32 constants from the numpy-f64 master tables (core/pow_tables.py):
+    identical to the jnp engine's table dots on EVERY backend — runtime
+    ``lax.pow`` is approximate on TPU and was the r2 kernel's divergence."""
+    a115 = PWT.f32_list(PWT.POW115_NP)    # [100]
+    a15 = list(_P15_F32)                  # [96]
     return a115, a15
+
+
+def _pow_select(e_i32, table_f32):
+    """table[clip(e, 0, len-1)] as an equality-select ladder (trace-time
+    constants; matches core/pow_tables._gather exactly)."""
+    e = jnp.clip(e_i32, 0, len(table_f32) - 1)
+    out = jnp.zeros((SUB, LANES), f32)
+    for k, v in enumerate(table_f32):
+        out = jnp.where(e == k, jnp.float32(v), out)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -337,19 +353,12 @@ def unpack_full_state(packed, key_ref=None):
 # ---------------------------------------------------------------------------
 
 
-_JNP_MODE = False  # True while tracing the pure-jnp rows harness (no Mosaic)
-
-
 def _bitcast(x, dt):
-    """pltpu.bitcast inside the kernel; lax bitcast in the rows harness.
-
-    Same-width bit reinterpretation either way — the rows harness
-    (``rollout_full_rows``) exists so the kernel arithmetic can be compiled
-    and validated by plain XLA:CPU without Mosaic/interpret overhead.
-    """
-    if _JNP_MODE:
-        return jax.lax.bitcast_convert_type(x, dt)
-    return pltpu.bitcast(x, dt)
+    """Same-width bit reinterpretation. ``lax.bitcast_convert_type`` has a
+    Mosaic lowering rule for equal bitwidths, so the SAME op serves both the
+    Pallas kernel and the plain-XLA rows harness (``rollout_full_rows``) —
+    no mode global (round-2 advisor finding)."""
+    return jax.lax.bitcast_convert_type(x, dt)
 
 
 def _bits_hw(shape=None):
@@ -359,6 +368,18 @@ def _bits_hw(shape=None):
 
 def _u32_to_f32(u):
     return _bitcast(u, i32).astype(f32)
+
+
+_SORT_FLIP = -(2 ** 31)  # i32 sign-bit flip
+
+
+def _sortable(u):
+    """u32 -> i32 preserving unsigned order (sign-bit flip). Mosaic has no
+    unsigned max/min/compare lowerings (arith.maxui fails to legalize), so
+    every ORDERING of random u32 priority words happens in this signed
+    domain: flip(0)=INT32_MIN, flip(0xFFFFFFFF)=INT32_MAX, and the low 6
+    bits of packed (priority|index) words are unchanged."""
+    return _bitcast(u, i32) ^ jnp.int32(_SORT_FLIP)
 
 
 def _u01_hw(bits):
@@ -436,10 +457,13 @@ class _Rng:
         if self.exact:
             return KR.randint(key[0], key[1], lo, hi,
                               jnp.full((SUB, LANES), idx, u32))
-        span = jnp.asarray(hi, u32) - jnp.asarray(lo, u32)
-        span = jnp.maximum(span, jnp.uint32(1))
+        # span guard in i32 (no unsigned max in Mosaic); bounds are small.
+        # Broadcast before the bitcast — tpu.bitcast requires vectors.
+        span = jnp.broadcast_to(
+            jnp.maximum(jnp.asarray(hi, i32) - jnp.asarray(lo, i32), 1),
+            (SUB, LANES))
         return (jnp.asarray(lo, i32)
-                + _bitcast(_bits_hw() % span, i32))
+                + _bitcast(_bits_hw() % _bitcast(span, u32), i32))
 
 
 # ---------------------------------------------------------------------------
@@ -451,7 +475,8 @@ class _Rng:
 def _inhand_rows(s):
     """Expand the in-hand bitset to 64 per-slot bools."""
     lo, hi = s["ih_lo"], s["ih_hi"]
-    return [(((lo if d < 32 else hi) >> jnp.uint32(d % 32)) & 1) > 0
+    # != 0 not > 0: unsigned compares have no Mosaic lowering
+    return [(((lo if d < 32 else hi) >> jnp.uint32(d % 32)) & 1) != 0
             for d in range(N_DECK)]
 
 
@@ -774,13 +799,11 @@ def _score_play(s, rng, view, k_score):
         e3 = e3 + cnt[j] * ht_is[c].astype(f32) * v
     e15 = cnt[JT.J_BARON] * nkings
 
+    # x2 via exponent bits (2^e exact); x3/x15 via the shared f32 constant
+    # tables (equal to the engine's pow_tables dots on every backend).
     x2 = _bitcast(((e2.astype(i32) + 127) << 23), f32)
-    x3 = jnp.ones((SUB, LANES), f32)
-    for k in range(1, 13):
-        x3 = jnp.where(e3 >= k, x3 * 3.0, x3)
-    x15 = jnp.ones((SUB, LANES), f32)
-    for k in range(1, 21):
-        x15 = jnp.where(e15 >= k, x15 * 1.5, x15)
+    x3 = _pow_select(e3.astype(i32), _P3_F32)
+    x15 = _pow_select(e15.astype(i32), _P15_F32)
     jx = (x2 * x3) * x15
 
     chips = chips + chips_f.astype(i32)
@@ -820,6 +843,8 @@ def _shop_gen(s, rng, key, ante, pow115):
         third_cost = jnp.where(third == kind, _PACK_COSTS[kind], third_cost)
 
     # 3 distinct unowned jokers: top-3 of iid u32 keys over eligibility.
+    # Ordering runs in the sign-flipped i32 domain (_sortable): u32 0 (the
+    # "disabled" sentinel) maps to INT32_MIN, preserving selection exactly.
     if rng.exact:
         jkeys = [KR.random_bits32(k_jok[0], k_jok[1],
                                   jnp.full((SUB, LANES), j, u32))
@@ -827,25 +852,26 @@ def _shop_gen(s, rng, key, ante, pow115):
     else:
         jb = _bitcast(pltpu.prng_random_bits((JT.NUM_JOKERS, SUB, LANES)), u32)
         jkeys = [jb[j] for j in range(JT.NUM_JOKERS)]
+    disabled = jnp.full((SUB, LANES), _SORT_FLIP, i32)
     keys = []
     for j in range(JT.NUM_JOKERS):
         if not _ELIGIBLE[j]:
-            keys.append(jnp.zeros((SUB, LANES), u32))
+            keys.append(disabled)
             continue
         owned = jnp.zeros((SUB, LANES), bool)
         for sl_ in range(N_JOK):
             owned = owned | (s["jok"][sl_] == j)
-        keys.append(jnp.where(owned, jnp.uint32(0), jkeys[j]))
+        keys.append(jnp.where(owned, disabled, _sortable(jkeys[j])))
     jids = []
     for _ in range(3):
-        best_k = jnp.zeros((SUB, LANES), u32)
+        best_k = disabled
         best_j = zero
         for j in range(JT.NUM_JOKERS):
             b = keys[j] > best_k
             best_k = jnp.maximum(keys[j], best_k)
             best_j = jnp.where(b, j, best_j)
         jids.append(best_j)
-        keys = [jnp.where(best_j == j, jnp.uint32(0), keys[j])
+        keys = [jnp.where(best_j == j, disabled, keys[j])
                 for j in range(JT.NUM_JOKERS)]
     jcosts = []
     for jid in jids:
@@ -964,9 +990,7 @@ def _play_branch(s, rng, view):
     for p in range(N_HAND):
         n_steel = n_steel + (present[p] & ~sel[p]
                              & (enh[p] == int(C.Enhancement.STEEL))).astype(i32)
-    sm = jnp.ones((SUB, LANES), f32)
-    for k in range(1, 9):
-        sm = jnp.where(n_steel >= k, sm * 1.5, sm)
+    sm = _pow_select(n_steel, _P15_F32)
     final = _trunc(base_score.astype(f32) * sm).astype(i32)
 
     # ---- boss scoring ratio (boss.scoring_ratio, f32 branch) ----
@@ -994,9 +1018,7 @@ def _play_branch(s, rng, view):
     nd = jnp.where(s["bid"] == B.PLANT, plant,
                    jnp.where(s["bid"] == B.VIOLET, n_played,
                              jnp.where(s["bid"] == B.PILLAR, pillar, 0)))
-    pen = jnp.ones((SUB, LANES), f32)
-    for k in range(1, 6):
-        pen = jnp.where(nd >= k, pen * 0.8, pen)
+    pen = _pow_select(nd, _P08_F32)
     c = jnp.where(nd > 0, _trunc(c.astype(f32) * pen).astype(i32), c)
     m = jnp.where(nd > 0, _trunc(m.astype(f32) * pen).astype(i32), m)
     ratio = ((c.astype(f32) / jnp.maximum(1, base_c0).astype(f32))
@@ -1499,14 +1521,16 @@ def _consumable_branch(s, rng, view, a):
     else:
         ib = _bitcast(pltpu.prng_random_bits((N_DECK, SUB, LANES)), u32)
         ikeys = [ib[d] for d in range(N_DECK)]
-    ikeys = [jnp.where(s["al"][d], ikeys[d], jnp.uint32(0)) for d in range(N_DECK)]
+    dis_d = jnp.full((SUB, LANES), _SORT_FLIP, i32)
+    ikeys = [jnp.where(s["al"][d], _sortable(ikeys[d]), dis_d)
+             for d in range(N_DECK)]
     n_alive = zero
     for d in range(N_DECK):
         n_alive = n_alive + s["al"][d].astype(i32)
     n_kill = jnp.minimum(5, n_alive)
     kill = [false for _ in range(N_DECK)]
     for k in range(5):
-        best_k = jnp.zeros((SUB, LANES), u32)
+        best_k = dis_d
         best_d = zero
         for d in range(N_DECK):
             b = ikeys[d] > best_k
@@ -1514,7 +1538,7 @@ def _consumable_branch(s, rng, view, a):
             best_d = jnp.where(b, d, best_d)
         for d in range(N_DECK):
             kill[d] = kill[d] | ((best_d == d) & (k < n_kill))
-        ikeys = [jnp.where(best_d == d, jnp.uint32(0), ikeys[d])
+        ikeys = [jnp.where(best_d == d, dis_d, ikeys[d])
                  for d in range(N_DECK)]
     kill = [kill[d] & s["al"][d] for d in range(N_DECK)]
     immo_upd = _destroy(s, kill)
@@ -1855,16 +1879,18 @@ def _reset_updates(s, rng):
         pb = _bitcast(pltpu.prng_random_bits((52, SUB, LANES)), u32)
         prio = [pb[c] for c in range(52)]
 
-    vals = [(prio[c] & jnp.uint32(0xFFFFFFC0)) | jnp.uint32(c)
+    # sort in the sign-flipped i32 domain (no unsigned min/max in Mosaic);
+    # the flip touches only bit 31, so the packed low-6-bit index survives.
+    vals = [_sortable((prio[c] & jnp.uint32(0xFFFFFFC0)) | jnp.uint32(c))
             for c in range(52)]
-    vals += [jnp.full((SUB, LANES), 0xFFFFFFFF, u32) for _ in range(12)]
+    vals += [jnp.full((SUB, LANES), 2 ** 31 - 1, i32) for _ in range(12)]
     svals = _bitonic64(vals)
 
     rk = []
     su = []
     for d in range(N_DECK):
         if d < 52:
-            idx = _bitcast(svals[d] & jnp.uint32(63), i32)
+            idx = svals[d] & jnp.int32(63)
             b = ((idx >= 13).astype(i32) + (idx >= 26).astype(i32)
                  + (idx >= 39).astype(i32))
             rk.append(idx - 13 * b + 2)
@@ -2024,20 +2050,21 @@ def _step(s, a, rng, pow115, pow15):
     if rng.exact:
         k_hook, k_wheel = KR.split2(k_boss[0], k_boss[1])
     present2 = [jnp.full((SUB, LANES), p, i32) < nxt["hn"] for p in range(N_HAND)]
+    dis_h = jnp.full((SUB, LANES), _SORT_FLIP, i32)
     hkeys = []
     for p in range(N_HAND):
         b = (rng.bits(k_hook, p) if rng.exact else _bits_hw())
-        hkeys.append(jnp.where(present2[p], b, jnp.uint32(0)))
+        hkeys.append(jnp.where(present2[p], _sortable(b), dis_h))
     picks = []
     for _ in range(2):
-        best_k = jnp.zeros((SUB, LANES), u32)
+        best_k = dis_h
         best_p = zero
         for p in range(N_HAND):
             better = hkeys[p] > best_k
             best_k = jnp.maximum(hkeys[p], best_k)
             best_p = jnp.where(better, p, best_p)
         picks.append(best_p)
-        hkeys = [jnp.where(best_p == p, jnp.uint32(0), hkeys[p])
+        hkeys = [jnp.where(best_p == p, dis_h, hkeys[p])
                  for p in range(N_HAND)]
     n_pres = zero
     for p in range(N_HAND):
@@ -2141,6 +2168,28 @@ def _load_state(cards_ref, ints_ref, rng_ref):
     return s
 
 
+# State-dict keys holding bool rows. Mosaic cannot carry vector<8x128xi1>
+# values through an scf.for loop ("failed to legalize operation 'scf.for'"),
+# so the fori_loop carry packs these to i32 and re-expands inside the body.
+_BOOL_KEYS = ("sel", "fd", "al", "bact", "bfirst", "done")
+
+
+def _carry_pack(s):
+    out = dict(s)
+    for k in _BOOL_KEYS:
+        v = s[k]
+        out[k] = [x.astype(i32) for x in v] if isinstance(v, list) else v.astype(i32)
+    return out
+
+
+def _carry_unpack(s):
+    out = dict(s)
+    for k in _BOOL_KEYS:
+        v = s[k]
+        out[k] = [x != 0 for x in v] if isinstance(v, list) else v != 0
+    return out
+
+
 def _run_loop(s, actions_ref, n_steps, use_actions, rng, pow115, pow15):
     """fori_loop of _step over the state dict; returns (s, tot, epi)."""
     zero = jnp.zeros((SUB, LANES), i32)
@@ -2151,12 +2200,13 @@ def _run_loop(s, actions_ref, n_steps, use_actions, rng, pow115, pow15):
             a = actions_ref[t, 0]
         else:
             a = _sample_action(st)
-        st2, reward, done = _step(st, a, rng, pow115, pow15)
-        return st2, tot + reward, epi + done.astype(i32)
+        st2, reward, done = _step(_carry_unpack(st), a, rng, pow115, pow15)
+        return _carry_pack(st2), tot + reward, epi + done.astype(i32)
 
-    return jax.lax.fori_loop(
+    out, tot, epi = jax.lax.fori_loop(
         0, n_steps, body,
-        (s, jnp.zeros((SUB, LANES), f32), zero))
+        (_carry_pack(s), jnp.zeros((SUB, LANES), f32), zero))
+    return _carry_unpack(out), tot, epi
 
 
 def _kernel(cards_ref, ints_ref, rng_ref, seed_ref, actions_ref,
@@ -2312,7 +2362,6 @@ def rollout_full_rows(st0, actions, n_steps: int):
     st0: batched FullEnvState over n_envs (multiple of TILE).
     actions: [n_steps, n_envs] i32.
     """
-    global _JNP_MODE
     packed = pack_full_state(st0)
     n_envs = packed["ints"].shape[-1]
     assert n_envs % TILE == 0
@@ -2323,14 +2372,11 @@ def rollout_full_rows(st0, actions, n_steps: int):
     ints = packed["ints"].reshape(NI, n_tiles, SUB, LANES)
     rngp = packed["rng"].reshape(NR, n_tiles, SUB, LANES)
     outs = []
-    _JNP_MODE = True
-    try:
-        for tix in range(n_tiles):
-            outs.append(_rows_jit(cards[:, tix:tix + 1], ints[:, tix:tix + 1],
-                                  rngp[:, tix:tix + 1],
-                                  acts[:, tix:tix + 1], n_steps))
-    finally:
-        _JNP_MODE = False
+    for tix in range(n_tiles):
+        outs.append(_rows_jit(cards[:, tix:tix + 1], ints[:, tix:tix + 1],
+                              rngp[:, tix:tix + 1],
+                              acts[:, tix:tix + 1], n_steps))
+
     def untile(k):
         # n_tiles × [rows, 1, SUB, LANES] -> [rows, n_envs] (same env
         # ordering as _rollout's untile: tile-major, then sublane, lane).

@@ -114,7 +114,10 @@ def split_child(k1, k2, i):
     (prng.py:1150-1160): child i = threefry(key, iota64 hi/lo of index i).
     ``split2`` is the n=2 special case; this generalizes to the 4-way splits
     the engines use (shop generation, consumables)."""
-    lo = jnp.full(jnp.shape(k1), i, jnp.uint32)
+    # NB: jnp.full with a traced fill value lowers through a device_put
+    # primitive, which Mosaic rejects inside a Pallas kernel — broadcast
+    # explicitly instead.
+    lo = jnp.broadcast_to(jnp.asarray(i, jnp.uint32), jnp.shape(k1))
     return threefry2x32(k1, k2, jnp.zeros_like(k1), lo)
 
 
@@ -147,8 +150,14 @@ def randint(k1, k2, minval, maxval, i=0):
     (a1, a2), (b1, b2) = split2(k1, k2)
     higher = random_bits32(a1, a2, i)
     lower = random_bits32(b1, b2, i)
-    span = jnp.asarray(maxval - minval, jnp.uint32)
-    span = jnp.maximum(span, jnp.uint32(1))
+    # span guard runs in i32 (Mosaic has no unsigned max lowering); all call
+    # sites have 0 <= maxval - minval < 2**31, where signed == unsigned.
+    # Broadcast to the key shape before the bitcast: tpu.bitcast only
+    # accepts vectors, and scalar bounds are common.
+    span_i = jnp.broadcast_to(
+        jnp.maximum(jnp.asarray(maxval - minval, jnp.int32), 1),
+        jnp.shape(k1))
+    span = lax.bitcast_convert_type(span_i, jnp.uint32)
     mult = jnp.uint32(2 ** 16) % span
     mult = (mult * mult) % span
     off = ((higher % span) * mult + lower % span) % span

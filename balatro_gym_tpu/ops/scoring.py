@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from balatro_gym_tpu.core import cards as C
+from balatro_gym_tpu.core import pow_tables as P
 from balatro_gym_tpu.core.constants import BASE_HAND_CHIPS, BASE_HAND_MULT
 from balatro_gym_tpu.ops import joker_tables as JT
 from balatro_gym_tpu.ops.hand_eval import evaluate_sim, classify_env
@@ -150,9 +151,9 @@ def _joker_pass(t: JT.JokerTables, jokers, ranks, suits, smask, valid, ht,
           + cnt(JT.J_BLACKBOARD) * all_spade_club
           + cnt(JT.J_FLOWER_POT) * flower)
     e15 = cnt(JT.J_BARON) * nkings
-    x = (jnp.asarray(2.0, _F) ** e2.astype(_F)
-         * jnp.asarray(3.0, _F) ** e3.astype(_F)
-         * jnp.asarray(1.5, _F) ** e15.astype(_F))
+    # Table dots, not lax.pow: TPU pow is approximate for non-2 bases and
+    # breaks the exact-x-mult contract (core/pow_tables.py docstring).
+    x = P.pow2(e2, _F) * P.pow3(e3, _F) * P.pow15(e15, _F)
 
     return (chips_f.astype(jnp.int64), mult_f.astype(jnp.int64), x,
             money_f.astype(jnp.int32))
@@ -199,8 +200,7 @@ def score_sim(ranks, suits, valid, enh, ed, seal, base_value, jokers,
            + ed_hist @ C.ED_MULT.astype(f32)).astype(jnp.int64)
     n_glass = enh_hist[C.Enhancement.GLASS]
     n_15 = enh_hist[C.Enhancement.STEEL] + ed_hist[C.Edition.POLYCHROME]
-    x = (jnp.asarray(2.0, _F) ** n_glass.astype(_F)
-         * jnp.asarray(1.5, _F) ** n_15.astype(_F))
+    x = P.pow2(n_glass, _F) * P.pow15(n_15, _F)
     n_gold_seal = jnp.sum(smask & (seal == C.Seal.GOLD))
     money = (3 * (enh_hist[C.Enhancement.GOLD].astype(jnp.int32)
                   + n_gold_seal.astype(jnp.int32)))

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import statistics
+import sys
 import time
 
 import jax
@@ -100,7 +101,13 @@ def _full_env_throughput(on_accelerator: bool):
     On a TPU: the fused full-env Pallas kernel (sampling mode, REPS
     pipelined rollouts per sample, true data-fetch sync). On CPU: one jnp
     mask-legal random rollout (shorter scan; throughput normalizes).
+
+    Returns (throughput, spread_pct, path, error) where ``path`` is
+    "fused" or "jnp-fallback" and ``error`` carries the kernel exception
+    text when the fused path failed — a failed kernel must never
+    masquerade as a measured number (VERDICT r2 weak #1).
     """
+    fused_error = None
     if on_accelerator:
         try:
             from balatro_gym_tpu.ops.fused_full_rollout import rollout_full_fused
@@ -116,16 +123,26 @@ def _full_env_throughput(on_accelerator: bool):
                     seed += N_TILES
                 float(out["total_reward"][0])
                 times.append(time.perf_counter() - t0)
-            return _median_spread(times, REPS * N_ENVS * N_STEPS)
-        except Exception:
-            pass  # fall through to the jnp path
-
-    from balatro_gym_tpu.engine import full_env as fe
+            med, spread = _median_spread(times, REPS * N_ENVS * N_STEPS)
+            return med, spread, "fused", None
+        except Exception as e:  # noqa: BLE001 - reported, not swallowed
+            fused_error = f"{type(e).__name__}: {e}"
+            print(f"fused full-env kernel FAILED, falling back to jnp: "
+                  f"{fused_error[:2000]}", file=sys.stderr)
 
     if on_accelerator:
         n_envs, n_steps = N_ENVS, 64
     else:
         n_envs, n_steps = 512, 32  # jnp full env on 2 host cores: keep it short
+    med, spread = _jnp_full_env_throughput(None, n_envs, n_steps)
+    return med, spread, "jnp-fallback", fused_error
+
+
+def _jnp_full_env_throughput(device, n_envs, n_steps, samples=2):
+    """The jnp flagship env (vmap+scan, mask-legal random actions) on
+    `device` (None = default). Used both as the accelerator fallback and as
+    the CPU denominator for ``full_env_vs_baseline``."""
+    from balatro_gym_tpu.engine import full_env as fe
 
     def rollout(key):
         ks, ka = jax.random.split(key)
@@ -143,13 +160,16 @@ def _full_env_throughput(on_accelerator: bool):
             body, (states, jnp.float32(0)), jax.random.split(ka, n_steps))
         return last
 
-    fn = jax.jit(rollout)
-    jax.block_until_ready(fn(jax.random.key(0)))
-    times = []
-    for i in range(2):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(jax.random.key(1 + i)))
-        times.append(time.perf_counter() - t0)
+    import contextlib
+    ctx = jax.default_device(device) if device is not None else contextlib.nullcontext()
+    with ctx:
+        fn = jax.jit(rollout)
+        jax.block_until_ready(fn(jax.random.key(0)))
+        times = []
+        for i in range(samples):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(jax.random.key(1 + i)))
+            times.append(time.perf_counter() - t0)
     return _median_spread(times, n_envs * n_steps)
 
 
@@ -161,17 +181,25 @@ def main():
         value, spread = _jnp_sim_throughput(jax.devices()[0])
 
     vs_baseline = 1.0
+    cpu = None
     try:
         cpu = jax.devices("cpu")[0]
         if on_accelerator and cpu != jax.devices()[0]:
             cpu_tput, _ = _jnp_sim_throughput(cpu)
             vs_baseline = value / cpu_tput
     except RuntimeError:
-        pass  # no separate cpu backend visible; report 1.0
+        cpu = None  # no separate cpu backend visible; report 1.0
 
-    full_tput, full_spread = _full_env_throughput(on_accelerator)
+    full_tput, full_spread, full_path, full_err = _full_env_throughput(
+        on_accelerator)
 
-    print(json.dumps({
+    # Flagship-env CPU denominator (BASELINE.md's >=10x/chip target).
+    full_vs_baseline = 1.0
+    if on_accelerator and cpu is not None:
+        full_cpu_tput, _ = _jnp_full_env_throughput(cpu, 512, 32)
+        full_vs_baseline = full_tput / full_cpu_tput
+
+    out = {
         "metric": "env_steps_per_sec_8192envs",
         "value": round(value, 1),
         "unit": "env-steps/s",
@@ -181,7 +209,12 @@ def main():
         "reps_per_sample": REPS,
         "full_env_steps_per_sec": round(full_tput, 1),
         "full_env_spread_pct": round(full_spread, 1),
-    }))
+        "full_env_path": full_path,
+        "full_env_vs_baseline": round(full_vs_baseline, 3),
+    }
+    if full_err is not None:
+        out["full_env_error"] = full_err[:500]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
