@@ -45,3 +45,27 @@ def next_key(master_key, counters, stream: str | int):
     sid = STREAM_ID[stream] if isinstance(stream, str) else stream
     key = jax.random.fold_in(stream_key(master_key, sid), counters[sid])
     return key, counters.at[sid].add(1)
+
+
+I32_MIN = -(2 ** 31)
+
+
+def sort_key_i32(bits, mask):
+    """Sign-flip u32 draw keys into i32 so (arg)max ordering runs in the
+    SIGNED domain; masked-out entries become I32_MIN (below any drawn key).
+
+    Why: the engines' uniform-without-replacement draws (shop joker top-3,
+    Immolate's destroy-5, The Hook's discard-2) order iid u32 keys. XLA:TPU
+    mis-orders ``uint32`` argmax/max reductions inside large fused programs
+    (observed on v5e: engine-on-TPU picked different slots than
+    engine-on-CPU and than the Pallas kernel, scripts/debug_fused_case.py;
+    a standalone u32 argmax compiles fine — only the fused formulation
+    breaks). The sign-flipped i32 domain is order-isomorphic to unsigned
+    order, is what the fused kernels already use (Mosaic has no unsigned
+    max lowering at all), and makes every backend agree bit-for-bit.
+
+    Use ``.at[j].set(I32_MIN)`` to knock out picked entries when iterating.
+    """
+    flipped = jax.lax.bitcast_convert_type(
+        jnp.asarray(bits, jnp.uint32) ^ jnp.uint32(0x80000000), jnp.int32)
+    return jnp.where(mask, flipped, jnp.int32(I32_MIN))

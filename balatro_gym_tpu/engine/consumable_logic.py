@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from balatro_gym_tpu.core import cards as C
+from balatro_gym_tpu.core import rng as R
 
 # Consumable obs ids (balatro_env_2.py:1543-1567).
 TAROT_BASE, NUM_TAROT = 1, 22
@@ -380,18 +381,25 @@ def use_consumable(st, idx):
     # keys so the fused kernel replays the draws bit-exactly via
     # ops/kernel_rng; tie/zero-key probability ~2**-32 is negligible).
     do_immo = cid == IMMOLATE
-    g = jnp.where(st.card_alive, jax.random.bits(k3, (fe.MAX_DECK,), jnp.uint32),
-                  jnp.uint32(0))
+    # Sign-flipped i32 ordering (core.rng.sort_key_i32): u32 argmax
+    # mis-orders on XLA:TPU inside fused programs; i32 is what the fused
+    # kernel compares too, keeping backends bit-identical.
+    g = R.sort_key_i32(jax.random.bits(k3, (fe.MAX_DECK,), jnp.uint32),
+                       st.card_alive)
     # Iterated argmax (top_k lowers to a sort on TPU; this runs every step).
     n_kill = jnp.minimum(5, jnp.sum(st.card_alive))
     immo_kill = jnp.zeros(fe.MAX_DECK, bool)
     gk = g
     for i in range(5):
         j = jnp.argmax(gk)
-        # .max keeps an earlier True if a degenerate all-zero argmax
-        # re-picks slot 0 when fewer than 5 cards are alive.
-        immo_kill = immo_kill.at[j].max(i < n_kill)
-        gk = gk.at[j].set(jnp.uint32(0))
+        # Compare+OR, NOT `.at[j].max(bool)`: XLA:TPU's bool scatter-max
+        # silently DROPS updates inside vmapped programs (repro in
+        # scripts/debug_fused_case.py history — TPU kept picks 1/3/5 of an
+        # iterated argmax and lost 2/4, while CPU kept all five). The OR
+        # keeps an earlier True if a degenerate all-min argmax re-picks
+        # slot 0 when fewer than 5 cards are alive.
+        immo_kill = immo_kill | ((jnp.arange(fe.MAX_DECK) == j) & (i < n_kill))
+        gk = gk.at[j].set(jnp.int32(R.I32_MIN))
     immo_kill = immo_kill & st.card_alive
     immo_st = _destroy_slots(st, immo_kill)
     immo_st = immo_st.replace(money=immo_st.money + 20)

@@ -60,6 +60,7 @@ from balatro_gym_tpu.engine import consumable_logic as CL
 from balatro_gym_tpu.engine import shop_logic as SL
 from balatro_gym_tpu.ops import boss as B
 from balatro_gym_tpu.ops import joker_tables as JT
+from balatro_gym_tpu.ops.hand_eval import classify_env
 from balatro_gym_tpu.ops.scoring import score_env_unified
 
 MAX_DECK = 64     # 52 base + growth slots (spectral creation, later)
@@ -86,6 +87,11 @@ class FullEnvState:
     hand_n: jnp.ndarray      # i32
     selected: jnp.ndarray    # [8] bool
     face_down: jnp.ndarray   # [8] bool
+    # game.highlighted_indexes as a position mask: every played selection
+    # accumulates here and ONLY discard_hand clears it (balatro_game.py:30-33,
+    # 111-127; play_hand is never called so nothing else clears). Drives the
+    # bug-faithful union-discard and deck-slot classification (#A39/#A40).
+    highlighted: jnp.ndarray  # [8] bool
     # Collections.
     jokers: jnp.ndarray      # [5] i32 ids, 0 empty
     joker_n: jnp.ndarray     # i32
@@ -166,6 +172,7 @@ def reset(key) -> FullEnvState:
         card_seal=zero64, card_alive=alive,
         hand_idx=jnp.full(MAX_HAND, -1, jnp.int32), hand_n=jnp.int32(0),
         selected=jnp.zeros(SEL, bool), face_down=jnp.zeros(SEL, bool),
+        highlighted=jnp.zeros(SEL, bool),
         jokers=jnp.zeros(MAX_JOKERS, jnp.int32), joker_n=jnp.int32(0),
         green_mult=jnp.int32(1), bus_mult=jnp.int32(0),
         cons=jnp.zeros(MAX_CONS, jnp.int32), cons_n=jnp.int32(0),
@@ -346,9 +353,9 @@ HAND_QUALITY = jnp.asarray(_HAND_QUALITY)
 
 # Synergy joker sets (balatro_env_2.py:853-863). Business Card / Smeared
 # Joker: resolve by library name → id.
-_FLUSH_SYN = (JT.J_FOUR_FINGERS, JT.J_SHORTCUT, 70)     # Smeared Joker id 70
+_FLUSH_SYN = (JT.J_FOUR_FINGERS, JT.J_SHORTCUT, 113)    # Smeared Joker id 113
 _PAIR_SYN = (JT.J_ODD_TODD, JT.J_EVEN_STEVEN, JT.J_JOLLY, JT.J_ZANY)
-_FACE_SYN = (JT.J_SCARY_FACE, JT.J_SMILEY_FACE, 30)     # Business Card id 30
+_FACE_SYN = (JT.J_SCARY_FACE, JT.J_SMILEY_FACE, 42)     # Business Card id 42
 
 
 def _has_any_joker(jokers, ids):
@@ -356,6 +363,24 @@ def _has_any_joker(jokers, ids):
     for i in ids:
         m = m | jnp.any(jokers == i)
     return m
+
+
+def _play_rolls(k_eff):
+    """[8,3] per-hand-position uniforms for _play_hand (glass / lucky-mult /
+    lucky-money). Module-level seam: the reference-differential test
+    (tests/test_reference_differential.py) monkeypatches this to force the
+    live reference env's recorded chance outcomes; computation is unchanged."""
+    pos_keys = jax.vmap(lambda i: jax.random.fold_in(k_eff, i))(jnp.arange(SEL))
+    return jax.vmap(lambda k: jax.random.uniform(k, (3,)))(pos_keys)
+
+
+def _purple_tarot_ids(k_seal):
+    """[5] per-slot random tarot ids (1..22) for _discard's purple-seal
+    creations (balatro_env_2.py:1020-1031). Module-level seam for the
+    reference-differential test; computation is unchanged."""
+    return jax.vmap(
+        lambda i: jax.random.randint(jax.random.fold_in(k_seal, i), (), 1, 23, dtype=jnp.int32)
+    )(jnp.arange(MAX_CONS))
 
 
 def _play_hand(st: FullEnvState):
@@ -369,9 +394,20 @@ def _play_hand(st: FullEnvState):
     k_score, st = _stream(st, "joker_effects")
     k_boss, st = _stream(st, "boss_abilities")
 
-    base_score, ht = score_env_unified(
+    # BUG-FAITHFUL classification (#A39/#A40): the env highlights the
+    # selection into game.highlighted_indexes (which play NEVER clears, so
+    # it accumulates every selection since the last discard), then
+    # classifies ``[game.deck[i] for i in highlighted_indexes]`` — indexing
+    # the DECK by hand POSITION (deck slots 0..7), not the hand's cards
+    # (balatro_env_2.py:663-671, balatro_game.py:30-33). The hand TYPE
+    # therefore comes from deck slots of the accumulated positions while
+    # card chips come from the truly selected cards.
+    new_high = st.highlighted | sel
+    ht = classify_env(st.card_rank[:SEL], st.card_suit[:SEL], new_high)
+
+    base_score, _ = score_env_unified(
         ranks, suits, sel, enh, ed, st.hand_levels, st.jokers,
-        st.hands_left, st.discards_left, jnp.int32(52), k_score,
+        st.hands_left, st.discards_left, jnp.int32(52), k_score, ht=ht,
     )
 
     # Boss play restriction check (balatro_env_2.py:677-680) — blocked plays
@@ -380,8 +416,7 @@ def _play_hand(st: FullEnvState):
                          st.boss_played_types, st.boss_verdant_req)
 
     # --- per-card effects (balatro_env_2.py:703-734) ---
-    pos_keys = jax.vmap(lambda i: jax.random.fold_in(k_eff, i))(jnp.arange(SEL))
-    rolls = jax.vmap(lambda k: jax.random.uniform(k, (3,)))(pos_keys)
+    rolls = _play_rolls(k_eff)
     # glass roll (rolls[:,0]) happens but destruction is a no-op (bug-faithful)
     lucky = sel & (enh == C.Enhancement.LUCKY)
     # lucky mult roll (rolls[:,1]) accumulates into a dead variable; only the
@@ -445,6 +480,7 @@ def _play_hand(st: FullEnvState):
         hand_play_counts=st.hand_play_counts.at[ht].add(1),
         green_mult=st.green_mult + 1,  # Green Joker before_scoring counter
         selected=jnp.zeros(SEL, bool),
+        highlighted=new_high,
     )
     # Ride the Bus counter: reset on face card scored, else +1.
     any_face = jnp.any(sel & (ranks >= 11) & (ranks <= 13))
@@ -527,6 +563,10 @@ def _play_hand(st: FullEnvState):
         jax.tree.map(lambda a, b: jnp.where(fail, a, b), st, cont))
     reward = jnp.where(boss_ok, reward, -1.0)
     st = jax.tree.map(lambda a, b: jnp.where(boss_ok, a, b), st, st_in)
+    # The reference highlights BEFORE the boss can_play check and returns
+    # early on a block (balatro_env_2.py:663-680) — the highlight sticks
+    # even for blocked plays.
+    st = st.replace(highlighted=new_high)
     return st, reward, jnp.where(boss_ok, fail, False)
 
 
@@ -534,6 +574,7 @@ def _discard(st: FullEnvState):
     """DISCARD action (balatro_env_2.py:962-1050)."""
     ranks, suits, enh, ed, seal, present = _hand_card_view(st)
     sel = st.selected & present
+    st_in_highlighted = st.highlighted
     n_sel = jnp.sum(sel).astype(jnp.int32)
 
     # Purple seals -> random tarots while slots free (balatro_env_2.py:1020-1031).
@@ -542,9 +583,7 @@ def _discard(st: FullEnvState):
     free = jnp.clip(st.cons_slots - st.cons_n, 0, MAX_CONS)
     n_tarot = jnp.minimum(n_purple, free)
     slots5 = jnp.arange(MAX_CONS)
-    tarot_ids = jax.vmap(
-        lambda i: jax.random.randint(jax.random.fold_in(k_seal, i), (), 1, 23, dtype=jnp.int32)
-    )(slots5)
+    tarot_ids = _purple_tarot_ids(k_seal)
     newly = (slots5 >= st.cons_n) & (slots5 < st.cons_n + n_tarot)
     cons = jnp.where(newly, tarot_ids, st.cons)
 
@@ -558,7 +597,7 @@ def _discard(st: FullEnvState):
     green = jnp.maximum(0, st.green_mult - 1)
     # Reward counts jokers in the discard-synergy list (Faceless/Hit the
     # Road/Reserved Parking/Luchador, balatro_env_2.py:1006-1007).
-    syn_ids = (JT.J_FACELESS, 93, 115, JT.J_LUCHADOR)  # Hit the Road 93, Reserved Parking 115
+    syn_ids = (JT.J_FACELESS, 130, 82, JT.J_LUCHADOR)  # Hit the Road 130, Reserved Parking 82
     n_syn = jnp.zeros((), jnp.int32)
     for i in syn_ids:
         n_syn = n_syn + jnp.sum(st.jokers == i).astype(jnp.int32)
@@ -568,8 +607,16 @@ def _discard(st: FullEnvState):
         green_mult=green,
         discards_left=st.discards_left - 1,
         selected=jnp.zeros(SEL, bool),
+        highlighted=jnp.zeros(SEL, bool),
     )
-    sel10 = jnp.concatenate([sel, jnp.zeros(MAX_HAND - SEL, bool)])
+    # BUG-FAITHFUL (#A39): discard removes selected ∪ every position played
+    # since the last discard — the env highlights the selection into
+    # game.highlighted_indexes, which still holds the stale play highlights
+    # (play never clears them), and discard_hand removes ALL of them
+    # (balatro_env_2.py:1010-1016, balatro_game.py:111-127). Positions
+    # >= hand_n are skipped by the descending removal's length guard.
+    remove8 = (sel | st_in_highlighted) & (jnp.arange(SEL) < st.hand_n)
+    sel10 = jnp.concatenate([remove8, jnp.zeros(MAX_HAND - SEL, bool)])
     st = _draw_cards(_remove_hand_positions(st, sel10))
 
     progress = st.round_chips_scored.astype(_F) / jnp.maximum(1, st.chips_needed).astype(_F)
@@ -587,7 +634,8 @@ def _step_play_phase(st: FullEnvState, action):
     used, r_used = CL.use_consumable(st, action - Action.USE_CONSUMABLE_BASE)
 
     pos = jnp.clip(action - Action.SELECT_CARD_BASE, 0, SEL - 1)
-    toggled = st.replace(selected=st.selected.at[pos].set(~st.selected[pos]))
+    # One-hot XOR, NOT a bool scatter-set (XLA:TPU silently drops dynamic-index BOOL scatter updates in vmapped programs).
+    toggled = st.replace(selected=st.selected ^ (jnp.arange(SEL) == pos))
 
     is_play = action == Action.PLAY_HAND
     is_disc = action == Action.DISCARD

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from balatro_gym_tpu.core import pow_tables as PT
+from balatro_gym_tpu.core import rng as R
 
 from balatro_gym_tpu.ops.joker_tables import JOKER_BASE_COST_NP, NUM_JOKERS
 
@@ -92,18 +93,23 @@ def generate_inventory(key, ante, owned_jokers, vouchers):
     # (shop.py:124-125 rng.sample). Integer keys instead of Gumbel so the
     # fused full-env kernel can replay the identical draws bit-exactly via
     # ops/kernel_rng (ties/zero-keys have probability ~2**-32: negligible).
-    owned_oh = jnp.zeros(NUM_JOKERS, bool).at[
-        jnp.clip(owned_jokers, 0, NUM_JOKERS - 1)].set(True)
+    # One-hot any-match, NOT a bool scatter-set (XLA:TPU silently drops dynamic-index BOOL scatter updates in vmapped programs).
+    owned_oh = jnp.any(
+        jnp.arange(NUM_JOKERS)[:, None]
+        == jnp.clip(owned_jokers, 0, NUM_JOKERS - 1)[None, :], axis=1)
     eligible = _ELIGIBLE & ~owned_oh
-    g = jnp.where(eligible, jax.random.bits(k_jok, (NUM_JOKERS,), jnp.uint32),
-                  jnp.uint32(0))
+    # Ordering runs in the sign-flipped i32 domain (core.rng.sort_key_i32):
+    # u32 argmax mis-orders on XLA:TPU inside fused programs, and the fused
+    # kernel compares i32 anyway — this keeps every backend bit-identical.
+    g = R.sort_key_i32(jax.random.bits(k_jok, (NUM_JOKERS,), jnp.uint32),
+                       eligible)
     # Iterated argmax instead of top_k: top_k lowers to a full sort on TPU,
     # and this runs inside every env step (shop regeneration branch).
     jids = []
     for _ in range(3):
         j = jnp.argmax(g)
         jids.append(j)
-        g = g.at[j].set(jnp.uint32(0))
+        g = g.at[j].set(jnp.int32(R.I32_MIN))
     jids = jnp.stack(jids)
     types = types.at[3:6].set(IT_JOKER)
     items = items.at[3:6].set(jids.astype(jnp.int32))

@@ -285,8 +285,12 @@ def action_mask(st: MacroEnvState):
     shop = jnp.zeros(ACTION_SPACE_SIZE, bool)
     shop = shop.at[A_SKIP].set(True)
     shop = shop.at[A_REROLL].set(True)
+    # One-hot OR, NOT `.at[aid].max(bool)`: XLA:TPU's bool scatter-max
+    # silently drops updates inside vmapped programs (see
+    # consumable_logic Immolate comment for the repro).
     aid = jnp.clip(A_PACK + slots, 0, ACTION_SPACE_SIZE - 1)
-    shop = shop.at[aid].max(afford)
+    ids = jnp.arange(ACTION_SPACE_SIZE)
+    shop = shop | jnp.any((ids[:, None] == aid[None, :]) & afford[None, :], axis=1)
     return jnp.where(st.phase == PHASE_PLAY, play, shop) & ~st.done
 
 

@@ -63,8 +63,9 @@ def reset(chip_threshold: int = 500) -> SmallEnvState:
 
 
 def _in_hand(st):
-    safe = jnp.where(st.hand_idx >= 0, st.hand_idx, DECK)
-    return jnp.zeros(DECK + 1, bool).at[safe].set(True)[:DECK]
+    # One-hot any-match, NOT a bool scatter-set (XLA:TPU silently drops dynamic-index BOOL scatter updates in vmapped programs).
+    return jnp.any((jnp.arange(DECK)[:, None] == st.hand_idx[None, :])
+                   & (st.hand_idx >= 0)[None, :], axis=1)
 
 
 def _draw(st: SmallEnvState) -> SmallEnvState:
@@ -94,8 +95,8 @@ def _remove_positions(st: SmallEnvState, remove8) -> SmallEnvState:
 
 def _hl_mask(st):
     """[8] bool of highlighted hand positions."""
-    safe = jnp.where(st.hl >= 0, st.hl, HAND)
-    return jnp.zeros(HAND + 1, bool).at[safe].set(True)[:HAND]
+    return jnp.any((jnp.arange(HAND)[:, None] == st.hl[None, :])
+                   & (st.hl >= 0)[None, :], axis=1)
 
 
 def step(st: SmallEnvState, action, chip_threshold: int = 500,
@@ -110,8 +111,9 @@ def step(st: SmallEnvState, action, chip_threshold: int = 500,
     suits = st.deck_suit[idx]
     ht = classify_env(ranks, suits, hlm)
     score = (BASE_HAND_CHIPS[ht] * BASE_HAND_MULT[ht]).astype(jnp.int64)
-    played_mark = jnp.zeros(DECK, bool).at[
-        jnp.where(hlm, idx, 0)].max(hlm)
+    played_mark = jnp.any(
+        (jnp.arange(DECK)[:, None] == jnp.where(hlm, idx, -1)[None, :]),
+        axis=1)
     played_st = _draw(_remove_positions(
         st.replace(round_score=st.round_score + score,
                    hands_left=st.hands_left - 1,

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from balatro_gym_tpu.core import pow_tables as PT
+from balatro_gym_tpu.core import rng as R
 
 N_BOSS = 29  # ids 1..28; row 0 unused
 
@@ -91,11 +92,15 @@ def on_hand_drawn(key, boss_id, first_hand, ranks, present):
     # fused kernel replays the draws bit-exactly via ops/kernel_rng).
     # Iterated argmax — argsort lowers to a sort on TPU and this runs every
     # step.
-    g = jnp.where(present, jax.random.bits(k_hook, (n,), jnp.uint32),
-                  jnp.uint32(0))
+    # Sign-flipped i32 ordering (core.rng.sort_key_i32): u32 argmax
+    # mis-orders on XLA:TPU inside fused programs; i32 matches the kernel.
+    g = R.sort_key_i32(jax.random.bits(k_hook, (n,), jnp.uint32), present)
     j1 = jnp.argmax(g)
-    j2 = jnp.argmax(g.at[j1].set(jnp.uint32(0)))
-    hook_pick = (jnp.zeros(n, bool).at[j1].set(True).at[j2].set(True)
+    j2 = jnp.argmax(g.at[j1].set(jnp.int32(R.I32_MIN)))
+    # One-hot OR, NOT a bool scatter-set: XLA:TPU silently drops dynamic-index BOOL scatter updates in vmapped programs
+    # (see core.rng.sort_key_i32 / consumable_logic Immolate notes).
+    pos = jnp.arange(n)
+    hook_pick = (((pos == j1) | (pos == j2))
                  & present & (jnp.sum(present) >= 2))
 
     wheel = present & (jax.random.uniform(k_wheel, (n,)) < 1.0 / 7.0)

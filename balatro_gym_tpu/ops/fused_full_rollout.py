@@ -115,7 +115,8 @@ S_ANTE, S_ROUND, S_PHASE, S_NEED, S_CAREER, S_RCHIPS, S_BEST = range(98, 105)
 S_MONEY, S_HL, S_DL, S_HSIZE, S_SN, S_RBASE, S_RCOST = range(105, 112)
 S_BACT, S_BID, S_BTYPES, S_BFIRST, S_BVERD, S_BPLO, S_BPHI = range(112, 119)
 S_HPT, S_HPA, S_JSOLD, S_DONE, S_STEPC = range(119, 124)
-NI = 124
+R_HIGH = 124            # 8 rows: game.highlighted_indexes mask (#A39/#A40)
+NI = 132
 
 # rng pack [18, B] u32 rows: 0 = key hi word, 1 = key lo word, 2.. counters.
 NR = 2 + N_CTR
@@ -158,55 +159,23 @@ _HAND_QUALITY = [float(x) for x in np.asarray(_HQ_J)]
 _PLANET_OBS = [int(x) for x in np.asarray(_PO_J)]
 _PLANET_HAND = [int(x) for x in np.asarray(_PH_J)]
 
-# Env-path joker table entries, densified to (joker_id, column, value) lists
-# (tables are sparse: ~60 nonzero entries drive the whole joker pass).
-_T = JT.get_tables()
-
-
-def _nz(table):
-    t = np.asarray(table)
-    out = []
-    for j in range(t.shape[0]):
-        for c in range(t.shape[1]):
-            if t[j, c] != 0:
-                out.append((j, c, float(t[j, c])))
-    return out
-
-
-_NZ_IND_CHIP_RANK = _nz(_T.ind_chip_rank)
-_NZ_IND_MULT_RANK = _nz(_T.ind_mult_rank)
-_NZ_IND_CHIP_SUIT = _nz(_T.ind_chip_suit)
-_NZ_IND_MULT_SUIT = _nz(_T.ind_mult_suit)
-_NZ_MULT_IF_SUIT = _nz(_T.mult_if_suit)
-_NZ_CHIPS_HAND = _nz(_T.chips_hand_env)
-_NZ_MULT_HAND = _nz(_T.mult_hand_env)
-_NZ_X2_HAND = _nz(_T.x2_hand_env)
-_NZ_X3_HAND = _nz(_T.x3_hand_env)
-_NZ_CHIPS_FLAT = [(j, v) for j, v in enumerate(np.asarray(_T.chips_flat)) if v]
-_NZ_MULT_FLAT = [(j, v) for j, v in enumerate(np.asarray(_T.mult_flat)) if v]
-_NZ_X3_FLAT = [(j, v) for j, v in enumerate(np.asarray(_T.x3_flat)) if v]
-
-# Every joker id the step references (count vectors computed once per step).
-_CNT_IDS = sorted({j for j, *_ in (_NZ_IND_CHIP_RANK + _NZ_IND_MULT_RANK
-                                   + _NZ_IND_CHIP_SUIT + _NZ_IND_MULT_SUIT
-                                   + _NZ_MULT_IF_SUIT + _NZ_CHIPS_HAND
-                                   + _NZ_MULT_HAND + _NZ_X2_HAND + _NZ_X3_HAND)}
-                  | {j for j, _ in (_NZ_CHIPS_FLAT + _NZ_MULT_FLAT + _NZ_X3_FLAT)}
-                  | {JT.J_TRIBOULET, JT.J_BLOODSTONE, JT.J_BANNER, JT.J_BLUE_JOKER,
-                     JT.J_ABSTRACT, JT.J_MYSTIC_SUMMIT, JT.J_HALF, JT.J_MISPRINT,
-                     JT.J_SHOOT_THE_MOON, JT.J_SEEING_DOUBLE, JT.J_ACROBAT,
-                     JT.J_BLACKBOARD, JT.J_FLOWER_POT, JT.J_BARON,
-                     JT.J_FOUR_FINGERS, JT.J_SHORTCUT, JT.J_TRADING_CARD,
-                     JT.J_FACELESS, 93, 115, JT.J_LUCHADOR, 70, 30,
-                     JT.J_ODD_TODD, JT.J_EVEN_STEVEN, JT.J_JOLLY, JT.J_ZANY,
-                     JT.J_SCARY_FACE, JT.J_SMILEY_FACE})
+# Joker ids the step references (count vectors computed once per step).
+# NO scoring jokers here: the env scoring path applies ZERO joker effects
+# (PARITY #A38 — the UnifiedScorer loops' isinstance(joker_name, str) guard
+# never passes because to_dict() supplies dicts, balatro_env_2.py:219 /
+# unified_scoring.py:164-221); only reward-synergy and discard-money jokers
+# remain observable (balatro_env_2.py:853-863, 1006-1007,
+# complete_joker_effects.py:186-208).
+_CNT_IDS = sorted({JT.J_FOUR_FINGERS, JT.J_SHORTCUT, JT.J_TRADING_CARD,
+                   JT.J_FACELESS, 130, 82, JT.J_LUCHADOR, 113, 42,
+                   JT.J_ODD_TODD, JT.J_EVEN_STEVEN, JT.J_JOLLY, JT.J_ZANY,
+                   JT.J_SCARY_FACE, JT.J_SMILEY_FACE})
 
 _STREAM = R.STREAM_ID
 
 
 from balatro_gym_tpu.core import pow_tables as PWT  # noqa: E402
 
-_P3_F32 = PWT.f32_list(PWT.POW3_NP)       # [16]
 _P15_F32 = PWT.f32_list(PWT.POW15_NP)     # [96]
 _P08_F32 = PWT.f32_list(PWT.POW08_NP)     # [12]
 
@@ -262,6 +231,7 @@ def pack_full_state(st):
     ints = put(slice(R_SCO, R_SCO + 10), st.shop_cost.T)
     ints = put(slice(R_LVL, R_LVL + 12), st.hand_levels.T)
     ints = put(slice(R_PC, R_PC + 12), st.hand_play_counts.T)
+    ints = put(slice(R_HIGH, R_HIGH + 8), st.highlighted.T)
 
     bits = jnp.asarray(1, u32) << jnp.arange(32, dtype=u32)
     bp = st.boss_played_slots.astype(u32)
@@ -320,6 +290,7 @@ def unpack_full_state(packed, key_ref=None):
         card_seal=cards[CH_SEAL].T, card_alive=cards[CH_ALIVE].T.astype(bool),
         hand_idx=rows(R_HIDX, 10), hand_n=ints[S_HN],
         selected=rows(R_SEL, 8).astype(bool), face_down=rows(R_FD, 8).astype(bool),
+        highlighted=rows(R_HIGH, 8).astype(bool),
         jokers=rows(R_JOK, 5), joker_n=ints[S_JN],
         green_mult=ints[S_GREEN], bus_mult=ints[S_BUS],
         cons=rows(R_CONS, 5), cons_n=ints[S_CN],
@@ -612,22 +583,34 @@ def _first_k_selected(sel, k):
 
 def _score_play(s, rng, view, k_score):
     """score_env_unified + the _play_hand scoring cascade. Returns a dict of
-    intermediates used by the play branch."""
+    intermediates used by the play branch. ``k_score`` is accepted but
+    unused: no joker effect fires in this path (PARITY #A38), so the
+    'joker_effects' stream key is drawn (counters advance, mirroring the
+    engine) but never consumed."""
+    del k_score
     ranks, suits, enh, ed, seal, present = view
     sel = [s["sel"][p] & present[p] for p in range(N_HAND)]
     zero = jnp.zeros((SUB, LANES), i32)
-    zf = jnp.zeros((SUB, LANES), f32)
 
     n_played = zero
     for p in range(N_HAND):
         n_played = n_played + sel[p].astype(i32)
 
-    # ---- classify_env (original ranks/suits; stone does not reclassify) --
+    # ---- classification (#A39/#A40): the env classifies
+    # [game.deck[i] for i in game.highlighted_indexes] — DECK slots 0..7 of
+    # the union of every selection played since the last discard, NOT the
+    # hand's cards (balatro_env_2.py:663-671, balatro_game.py:30-33).
+    uni = [s["high"][p] | sel[p] for p in range(N_HAND)]
+    crk = [s["rk"][p] for p in range(N_HAND)]
+    csu = [s["su"][p] for p in range(N_HAND)]
+    n_union = zero
+    for p in range(N_HAND):
+        n_union = n_union + uni[p].astype(i32)
     rc = []
     for r in range(2, 15):
         acc = zero
         for p in range(N_HAND):
-            acc = acc + (sel[p] & (ranks[p] == r)).astype(i32)
+            acc = acc + (uni[p] & (crk[p] == r)).astype(i32)
         rc.append(acc)
     max_c = zero
     for x in rc:
@@ -642,11 +625,11 @@ def _score_play(s, rng, view, k_score):
     for su in range(4):
         acc = zero
         for p in range(N_HAND):
-            acc = acc + (sel[p] & (suits[p] == su)).astype(i32)
+            acc = acc + (uni[p] & (csu[p] == su)).astype(i32)
         sc.append(acc)
     n_suits = ((sc[0] > 0).astype(i32) + (sc[1] > 0).astype(i32)
                + (sc[2] > 0).astype(i32) + (sc[3] > 0).astype(i32))
-    is_flush = (n_suits == 1) & (n_played >= 5)
+    is_flush = (n_suits == 1) & (n_union >= 5)
     present_r = [x > 0 for x in rc]
     n_distinct = zero
     for x in present_r:
@@ -666,11 +649,11 @@ def _score_play(s, rng, view, k_score):
     ht = jnp.where(max_c == 2, int(HT.ONE_PAIR), ht)
     ht = jnp.where((max_c == 2) & (max2 == 2), int(HT.TWO_PAIR), ht)
     ht = jnp.where(max_c == 3, int(HT.THREE_KIND), ht)
-    ht = jnp.where(is_straight & (n_played >= 5), int(HT.STRAIGHT), ht)
-    ht = jnp.where(is_flush & (n_played >= 5), int(HT.FLUSH), ht)
+    ht = jnp.where(is_straight & (n_union >= 5), int(HT.STRAIGHT), ht)
+    ht = jnp.where(is_flush & (n_union >= 5), int(HT.FLUSH), ht)
     ht = jnp.where((max_c == 3) & (max2 == 2), int(HT.FULL_HOUSE), ht)
     ht = jnp.where(max_c == 4, int(HT.FOUR_KIND), ht)
-    ht = jnp.where(is_straight & is_flush & (n_played >= 5),
+    ht = jnp.where(is_straight & is_flush & (n_union >= 5),
                    int(HT.STRAIGHT_FLUSH), ht)
 
     ht_is = [(ht == h) for h in range(12)]
@@ -696,123 +679,24 @@ def _score_play(s, rng, view, k_score):
         dv = jnp.where(ed[p] == int(C.Edition.FOIL), 50, 0)
         chips = chips + jnp.where(sel[p], rv + ev + dv, 0)
 
-    # ---- joker pass (env tables) over the stone scoring view ----
+    # ---- NO joker pass (PARITY #A38) ----
+    # UnifiedScorer's joker loops never fire in the env path (the
+    # isinstance(joker_name, str) guard fails on to_dict()'s dict entries,
+    # unified_scoring.py:164-221 / balatro_env_2.py:219). Joker count
+    # vectors are still needed for reward synergy + discard money.
     cnt = {}
     for j in _CNT_IDS:
         acc = zero
         for sl_ in range(N_JOK):
             acc = acc + (s["jok"][sl_] == j).astype(i32)
         cnt[j] = acc.astype(f32)
-    njok = zero
-    for sl_ in range(N_JOK):
-        njok = njok + (s["jok"][sl_] > 0).astype(i32)
 
-    stone = [enh[p] == int(C.Enhancement.STONE) for p in range(N_HAND)]
-    vr = [jnp.where(stone[p], 0, ranks[p]) for p in range(N_HAND)]
-    vs = [jnp.where(stone[p], JT.STONE_SUIT, suits[p]) for p in range(N_HAND)]
-
-    rh = {}  # view-rank histogram (f32), ranks referenced by tables only
-    for r in set(c for _, c, _ in (_NZ_IND_CHIP_RANK + _NZ_IND_MULT_RANK)) | {12, 13}:
-        acc = zf
-        for p in range(N_HAND):
-            acc = acc + (sel[p] & (vr[p] == r)).astype(f32)
-        rh[r] = acc
-    sh = []
-    for su in range(JT.NUM_SUIT_CATS):
-        acc = zf
-        for p in range(N_HAND):
-            acc = acc + (sel[p] & (vs[p] == su)).astype(f32)
-        sh.append(acc)
-
-    chips_f = zf
-    mult_f = zf
-    for j, c, v in _NZ_IND_CHIP_RANK:
-        chips_f = chips_f + cnt[j] * rh[c] * v
-    for j, c, v in _NZ_IND_MULT_RANK:
-        mult_f = mult_f + cnt[j] * rh[c] * v
-    for j, c, v in _NZ_IND_CHIP_SUIT:
-        chips_f = chips_f + cnt[j] * sh[c] * v
-    for j, c, v in _NZ_IND_MULT_SUIT:
-        mult_f = mult_f + cnt[j] * sh[c] * v
-
-    # Triboulet / Bloodstone (x2 exponents)
-    e2 = cnt[JT.J_TRIBOULET] * (rh[12] + rh[13])
-    kb = km = None
-    if rng.exact:
-        kb, km = KR.split2(k_score[0], k_score[1])
-    blood = zf
-    hearts = [sel[p] & (vs[p] == 2) for p in range(N_HAND)]
-    for sl_ in range(N_JOK):
-        is_blood = (s["jok"][sl_] == JT.J_BLOODSTONE)
-        for p in range(N_HAND):
-            if rng.exact:
-                coin = rng.uniform(kb, sl_ * N_HAND + p) < 0.5
-            else:
-                coin = rng.uniform(None) < 0.5
-            blood = blood + (is_blood & hearts[p] & coin).astype(f32)
-    e2 = e2 + blood
-
-    n_scoring = n_played  # every selected card scores in the env path
-    chips_f = chips_f + (cnt[JT.J_BANNER] * 30.0 * s["dl"].astype(f32)
-                         + cnt[JT.J_BLUE_JOKER] * 2.0 * 52.0)
-    for j, v in _NZ_CHIPS_FLAT:
-        chips_f = chips_f + cnt[j] * float(v)
-    for j, c, v in _NZ_CHIPS_HAND:
-        chips_f = chips_f + cnt[j] * ht_is[c].astype(f32) * v
-
-    misprint = rng.randint(km, 0, 24).astype(f32)
-    present5 = [(x > 0) for x in sh]
-    nqueens = zf
-    nkings = zf
-    for p in range(N_HAND):
-        nqueens = nqueens + (sel[p] & (vr[p] == 12)).astype(f32)
-        nkings = nkings + (sel[p] & (vr[p] == 13)).astype(f32)
-    for j, v in _NZ_MULT_FLAT:
-        mult_f = mult_f + cnt[j] * float(v)
-    for j, c, v in _NZ_MULT_HAND:
-        mult_f = mult_f + cnt[j] * ht_is[c].astype(f32) * v
-    mult_f = (mult_f
-              + cnt[JT.J_ABSTRACT] * 3.0 * njok.astype(f32)
-              + cnt[JT.J_MYSTIC_SUMMIT] * jnp.where(s["dl"] == 0, 15.0, 0.0)
-              + cnt[JT.J_HALF] * jnp.where(n_scoring <= 3, 20.0, 0.0)
-              + cnt[JT.J_MISPRINT] * misprint
-              + cnt[JT.J_SHOOT_THE_MOON] * 13.0 * nqueens)
-    for j, c, v in _NZ_MULT_IF_SUIT:
-        mult_f = mult_f + cnt[j] * present5[c].astype(f32) * v
-
-    n_cats = zf
-    for x in present5:
-        n_cats = n_cats + x.astype(f32)
-    all_sc = jnp.ones((SUB, LANES), bool)
-    for p in range(N_HAND):
-        all_sc = all_sc & (~sel[p] | (vs[p] == 3) | (vs[p] == 0))
-    seeing = present5[0] & (n_cats > 1)
-    e2 = e2 + cnt[JT.J_SEEING_DOUBLE] * seeing.astype(f32)
-    for j, c, v in _NZ_X2_HAND:
-        e2 = e2 + cnt[j] * ht_is[c].astype(f32) * v
-    e3 = (cnt[JT.J_ACROBAT] * (s["hl"] == 1).astype(f32)
-          + cnt[JT.J_BLACKBOARD] * all_sc.astype(f32)
-          + cnt[JT.J_FLOWER_POT] * (n_cats == 4).astype(f32))
-    for j, v in _NZ_X3_FLAT:
-        e3 = e3 + cnt[j] * float(v)
-    for j, c, v in _NZ_X3_HAND:
-        e3 = e3 + cnt[j] * ht_is[c].astype(f32) * v
-    e15 = cnt[JT.J_BARON] * nkings
-
-    # x2 via exponent bits (2^e exact); x3/x15 via the shared f32 constant
-    # tables (equal to the engine's pow_tables dots on every backend).
-    x2 = _bitcast(((e2.astype(i32) + 127) << 23), f32)
-    x3 = _pow_select(e3.astype(i32), _P3_F32)
-    x15 = _pow_select(e15.astype(i32), _P15_F32)
-    jx = (x2 * x3) * x15
-
-    chips = chips + chips_f.astype(i32)
-    mult = mult + mult_f.astype(i32)
-    base_score = _trunc(chips.astype(f32) * mult.astype(f32) * jx).astype(i32)
+    # final = int(chips * mult) — x_mult stays 1 (unified_scoring.py:288-290)
+    base_score = _trunc(chips.astype(f32) * mult.astype(f32)).astype(i32)
 
     return {"sel": sel, "n_played": n_played, "ht": ht, "ht_is": ht_is,
             "level": level, "base_score": base_score, "cnt": cnt,
-            "ranks": ranks, "seal": seal, "enh": enh}
+            "ranks": ranks, "seal": seal, "enh": enh, "high": uni}
 
 
 # ---------------------------------------------------------------------------
@@ -1057,6 +941,7 @@ def _play_branch(s, rng, view):
         "pc": [s["pc"][h] + ht_is[h].astype(i32) for h in range(12)],
         "green": s["green"] + 1,
         "sel": [jnp.zeros((SUB, LANES), bool) for _ in range(N_HAND)],
+        "high": sp["high"],
         "bus": jnp.where(any_face, 0, s["bus"] + 1),
         "btypes": s["btypes"] | jnp.where(s["bact"], ht_pow, 0),
         "bfirst": s["bfirst"] & ~s["bact"],
@@ -1089,10 +974,10 @@ def _play_branch(s, rng, view):
         (ht >= int(HT.THREE_KIND)) & (n_played <= 3), 2.0,
         jnp.where((ht >= int(HT.FLUSH)) & (n_played == 5), 1.0,
                   jnp.where((n_played <= 4) & (s["hl"] <= 2), 1.5, 0.0)))
-    flush_syn = (cnt[JT.J_FOUR_FINGERS] + cnt[JT.J_SHORTCUT] + cnt[70]) > 0
+    flush_syn = (cnt[JT.J_FOUR_FINGERS] + cnt[JT.J_SHORTCUT] + cnt[113]) > 0
     pair_syn = (cnt[JT.J_ODD_TODD] + cnt[JT.J_EVEN_STEVEN]
                 + cnt[JT.J_JOLLY] + cnt[JT.J_ZANY]) > 0
-    face_syn = (cnt[JT.J_SCARY_FACE] + cnt[JT.J_SMILEY_FACE] + cnt[30]) > 0
+    face_syn = (cnt[JT.J_SCARY_FACE] + cnt[JT.J_SMILEY_FACE] + cnt[42]) > 0
     n_face = zf
     for p in range(N_HAND):
         n_face = n_face + (sel[p] & (ranks[p] >= 11)).astype(f32)
@@ -1143,7 +1028,7 @@ def _discard_branch(s, rng, view):
         newly = (c5 >= s["cn"]) & (c5 < s["cn"] + n_tarot)
         new_cons.append(jnp.where(newly, tid, s["cons"][c5]))
 
-    cnt = _cnt_of(s, (JT.J_TRADING_CARD, JT.J_FACELESS, 93, 115, JT.J_LUCHADOR))
+    cnt = _cnt_of(s, (JT.J_TRADING_CARD, JT.J_FACELESS, 130, 82, JT.J_LUCHADOR))
     is_first = s["dl"] == 3
     trading = (cnt[JT.J_TRADING_CARD] > 0) & is_first & (n_sel == 1)
     n_face_disc = zero
@@ -1152,7 +1037,7 @@ def _discard_branch(s, rng, view):
                                      & (ranks[p] <= 13)).astype(i32)
     faceless = (cnt[JT.J_FACELESS] > 0) & (n_face_disc >= 3)
     money_disc = jnp.where(trading, 3, 0) + jnp.where(faceless, 5, 0)
-    n_syn = (cnt[JT.J_FACELESS] + cnt[93] + cnt[115] + cnt[JT.J_LUCHADOR])
+    n_syn = (cnt[JT.J_FACELESS] + cnt[130] + cnt[82] + cnt[JT.J_LUCHADOR])
 
     upd = {
         "money": s["money"] + money_disc,
@@ -1161,8 +1046,14 @@ def _discard_branch(s, rng, view):
         "dl": s["dl"] - 1,
         "ctr": ctrD,
     }
-    upd.update(_remove_positions(s, sel))
+    # union removal (#A39): selected + stale play highlights, positions
+    # >= hand_n skipped (the descending removal's length guard).
+    rem = [(sel[p] | s["high"][p])
+           & (jnp.full((SUB, LANES), p, i32) < s["hn"])
+           for p in range(N_HAND)]
+    upd.update(_remove_positions(s, rem))
     upd["sel"] = [jnp.zeros((SUB, LANES), bool) for _ in range(N_HAND)]
+    upd["high"] = [jnp.zeros((SUB, LANES), bool) for _ in range(N_HAND)]
 
     progress = s["rchips"].astype(f32) / jnp.maximum(1, s["need"]).astype(f32)
     dl_post = s["dl"] - 1
@@ -1910,6 +1801,7 @@ def _reset_updates(s, rng):
         "hrk": [zero] * N_HAND, "hsu": [zero] * N_HAND, "hen": [zero] * N_HAND,
         "hed": [zero] * N_HAND, "hsl": [zero] * N_HAND,
         "hn": zero, "sel": [false] * N_HAND, "fd": [false] * N_HAND,
+        "high": [false] * N_HAND,
         "jok": [zero] * N_JOK, "jn": zero,
         "green": jnp.full((SUB, LANES), 1, i32), "bus": zero,
         "cons": [zero] * N_CONS, "cn": zero, "vou": zero,
@@ -2021,6 +1913,9 @@ def _step(s, a, rng, pow115, pow15):
     nxt = _msel(beat_play, play_upd, nxt)
     nxt = _msel(adv_do, adv_upd, nxt)
     reward = jnp.where(do_play, jnp.where(boss_ok, r_play, -1.0), reward)
+    # Blocked play (#A39): the reference highlights BEFORE the boss
+    # can_play check and returns early — the highlight sticks anyway.
+    nxt = _msel(do_play & ~boss_ok, {"high": play_upd["high"]}, nxt)
     term = do_play & boss_ok & fail
     nxt = _msel(do_disc, disc_upd, nxt)
     reward = jnp.where(do_disc, r_disc, reward)
@@ -2122,6 +2017,7 @@ def _load_state(cards_ref, ints_ref, rng_ref):
     s["hidx"] = [ri(R_HIDX + p) for p in range(N_HAND)]
     s["sel"] = [ri(R_SEL + p) != 0 for p in range(N_HAND)]
     s["fd"] = [ri(R_FD + p) != 0 for p in range(N_HAND)]
+    s["high"] = [ri(R_HIGH + p) != 0 for p in range(N_HAND)]
     s["jok"] = [ri(R_JOK + j) for j in range(N_JOK)]
     s["cons"] = [ri(R_CONS + c5) for c5 in range(N_CONS)]
     s["sty"] = [ri(R_STY + r) for r in range(N_SHOP)]
@@ -2171,7 +2067,7 @@ def _load_state(cards_ref, ints_ref, rng_ref):
 # State-dict keys holding bool rows. Mosaic cannot carry vector<8x128xi1>
 # values through an scf.for loop ("failed to legalize operation 'scf.for'"),
 # so the fori_loop carry packs these to i32 and re-expands inside the body.
-_BOOL_KEYS = ("sel", "fd", "al", "bact", "bfirst", "done")
+_BOOL_KEYS = ("sel", "fd", "high", "al", "bact", "bfirst", "done")
 
 
 def _carry_pack(s):
@@ -2247,6 +2143,7 @@ def _store_rows(s):
         ints_rows[R_HIDX + p] = s["hidx"][p]
         ints_rows[R_SEL + p] = s["sel"][p].astype(i32)
         ints_rows[R_FD + p] = s["fd"][p].astype(i32)
+        ints_rows[R_HIGH + p] = s["high"][p].astype(i32)
     ints_rows[R_HIDX + 8] = jnp.full((SUB, LANES), -1, i32)
     ints_rows[R_HIDX + 9] = jnp.full((SUB, LANES), -1, i32)
     for j in range(N_JOK):
@@ -2328,6 +2225,11 @@ def _rollout(st0, seed, actions, n_envs: int, n_steps: int,
             jax.ShapeDtypeStruct((1, n_tiles, SUB, LANES), f32),
             jax.ShapeDtypeStruct((1, n_tiles, SUB, LANES), i32),
         ),
+        # The step body keeps ~17.5 MB of live vectors on the Mosaic stack
+        # (526 state rows + temporaries across the scf.for step loop), just
+        # over the 16 MB default scoped-vmem cap — raise it; v5e has 128 MB
+        # VMEM/core and the in/out blocks only use ~4.5 MB of it.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(tile(packed["cards"].reshape(n_cards, n_envs)), tile(packed["ints"]),
       tile(packed["rng"]), jnp.asarray(seed, i32).reshape(1, 1), acts)

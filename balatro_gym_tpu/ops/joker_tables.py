@@ -168,7 +168,7 @@ _HAND_JOKERS = {
     J_THE_TRIBE: ("Flush", 0, 0, 2.0),
 }
 
-from balatro_gym_tpu.core.constants import ENV_HAND_NAMES, SIM_HAND_NAMES  # noqa: E402
+from balatro_gym_tpu.core.constants import SIM_HAND_NAMES  # noqa: E402
 
 
 def _hand_tables(names):
@@ -184,7 +184,11 @@ def _hand_tables(names):
     return chips, mult, x
 
 
-_chips_hand_env, _mult_hand_env, _x_hand_env = _hand_tables(ENV_HAND_NAMES)
+# SIM path only: the flagship env path applies NO joker effects at all
+# (PARITY #A38 — UnifiedScorer's isinstance(joker_name, str) guards fail on
+# to_dict()'s {'name','id'} dicts, unified_scoring.py:164-221 /
+# balatro_env_2.py:219), so no env-string hand tables exist. The env path's
+# ENV_HAND_NAMES strings (constants.py) remain documented for the ledger.
 _chips_hand_sim, _mult_hand_sim, _x_hand_sim = _hand_tables(SIM_HAND_NAMES)
 
 
@@ -201,7 +205,6 @@ def _xmult_exponents(x):
     return e2, e3
 
 
-_x2_hand_env, _x3_hand_env = _xmult_exponents(_x_hand_env)
 _x2_hand_sim, _x3_hand_sim = _xmult_exponents(_x_hand_sim)
 _x3_flat = np.zeros(NUM_JOKERS, np.int32)
 _x3_flat[J_CAVENDISH] = 1  # x_flat's only non-1 entry (3.0)
@@ -252,14 +255,9 @@ class JokerTables:
         self.mult_flat = as_j(_mult_flat)
         self.x_flat = as_j(_x_flat)
         self.mult_if_suit = as_j(_mult_if_suit)
-        self.chips_hand_env = as_j(_chips_hand_env)
-        self.mult_hand_env = as_j(_mult_hand_env)
-        self.x_hand_env = as_j(_x_hand_env)
         self.chips_hand_sim = as_j(_chips_hand_sim)
         self.mult_hand_sim = as_j(_mult_hand_sim)
         self.x_hand_sim = as_j(_x_hand_sim)
-        self.x2_hand_env = as_j(_x2_hand_env)
-        self.x3_hand_env = as_j(_x3_hand_env)
         self.x2_hand_sim = as_j(_x2_hand_sim)
         self.x3_hand_sim = as_j(_x3_hand_sim)
         self.x3_flat = as_j(_x3_flat)

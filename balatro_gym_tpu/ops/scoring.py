@@ -57,6 +57,19 @@ def _suit_onehot(suits, mask, num_cats=5):
     return jnp.any(oh, axis=0)
 
 
+def _joker_chance(key, n_jok, n_cards):
+    """The joker pass's stochastic draws: Bloodstone coin matrix
+    [n_jok, n_cards] and the Misprint value (f32 scalar, randint 0..23).
+    Module-level seam: the reference-differential test monkeypatches this
+    to force the live reference env's recorded outcomes; the key splits and
+    draw computation are byte-identical to the previous inline form (the
+    fused kernels replay these draws via ops/kernel_rng — do not reorder)."""
+    kb, km = jax.random.split(key)
+    coin = jax.random.uniform(kb, (n_jok, n_cards)) < 0.5
+    misprint = jax.random.randint(km, (), 0, 24).astype(jnp.float32)
+    return coin, misprint
+
+
 def _joker_pass(t: JT.JokerTables, jokers, ranks, suits, smask, valid, ht,
                 hand_table_chips, hand_table_mult, x2_hand, x3_hand,
                 hands_left, discards_left, deck_size, key):
@@ -109,10 +122,9 @@ def _joker_pass(t: JT.JokerTables, jokers, ranks, suits, smask, valid, ht,
 
     # Bloodstone: 50% ×2 per (joker, scoring Heart) pair
     # (complete_joker_effects.py:161).
-    kb, km = jax.random.split(key)
+    coin, misprint = _joker_chance(key, jokers.shape[-1], ranks.shape[-1])
     blood_j = (jokers == JT.J_BLOODSTONE) & jvalid
     hearts = smask & (suits == 2)
-    coin = jax.random.uniform(kb, (jokers.shape[-1], ranks.shape[-1])) < 0.5
     e2 = e2 + jnp.sum((blood_j[:, None] & hearts[None, :] & coin).astype(f32))
 
     # ---- main scoring ----
@@ -124,8 +136,7 @@ def _joker_pass(t: JT.JokerTables, jokers, ranks, suits, smask, valid, ht,
 
     # Misprint: +randint(0,23) (complete_joker_effects.py:42). The reference
     # draws from the unseeded global `random`; one draw per held copy (>1
-    # copy cannot occur through the shop).
-    misprint = jax.random.randint(km, (), 0, 24).astype(f32)
+    # copy cannot occur through the shop). Drawn in _joker_chance above.
     present5 = (suit_hist > 0).astype(f32)
     nqueens = jnp.sum(valid & (ranks == 12)).astype(f32)
     nkings = jnp.sum(valid & (ranks == 13)).astype(f32)
@@ -236,18 +247,37 @@ def score_sim(ranks, suits, valid, enh, ed, seal, base_value, jokers,
 
 def score_env_unified(ranks, suits, valid, enh, ed, levels, jokers,
                       hands_left, discards_left, deck_size, key,
-                      tables: JT.JokerTables | None = None):
+                      tables: JT.JokerTables | None = None, ht=None):
     """``UnifiedScorer.score_hand`` for the flagship env path.
 
     scoring_cards == ALL selected cards (balatro_env_2.py:683-689). The hand
     is classified from the ORIGINAL ranks/suits (stone does not affect
-    classification, balatro_env_2.py:669-671); joker per-card effects see the
-    scoring view (stone -> rank 0, suit category 4).
+    classification, balatro_env_2.py:669-671).
+
+    BUG-FAITHFUL (PARITY #A38): NO joker effect fires in this path. All
+    three UnifiedScorer joker loops guard ``isinstance(joker_name, str)``
+    (unified_scoring.py:164-165, 187-188, 220-221), but the flagship state's
+    ``to_dict()`` renders jokers as ``{'name','id'}`` DICTS
+    (balatro_env_2.py:219) — the guard is always False, so no joker chips /
+    mult / x-mult / money, no Misprint or Bloodstone draws, ever. Verified
+    against the live reference (tests/test_reference_differential.py: a
+    planted flat +4-mult Joker leaves the score and breakdown unchanged).
+    The ``jokers``/``hands_left``/``discards_left``/``deck_size``/``key``
+    arguments are kept for API symmetry with :func:`score_sim` (whose
+    game_state carries joker NAMES, balatro_sim.py:555 — jokers DO fire
+    there) and are deliberately unused.
 
     Returns (base_score i64, hand_type i32).
     """
-    t = tables or JT.get_tables()
-    ht = classify_env(ranks, suits, valid)
+    del jokers, hands_left, discards_left, deck_size, key, tables
+    if ht is None:
+        ht = classify_env(ranks, suits, valid)
+    else:
+        # The flagship env classifies from game.highlighted_indexes used as
+        # DECK indices, accumulated across plays (#A39/#A40) — the caller
+        # (engine/full_env._play_hand) computes that hand type and passes
+        # it in; the selected cards here only contribute chip values.
+        ht = jnp.asarray(ht, jnp.int32)
     smask = valid  # every selected card scores
 
     level = levels[ht].astype(jnp.int64)
@@ -265,19 +295,7 @@ def score_env_unified(ranks, suits, valid, enh, ed, levels, jokers,
               + enh_hist @ C.ENH_CHIPS.astype(f32)
               + ed_hist @ C.ED_CHIPS.astype(f32)).astype(jnp.int64)
 
-    # Scoring view for joker per-card conditions (stone: rank 0, suit cat 4).
-    stone = enh == C.Enhancement.STONE
-    view_ranks = jnp.where(stone, 0, ranks)
-    view_suits = jnp.where(stone, JT.STONE_SUIT, suits).astype(jnp.int32)
-
-    jc, jm, jx, _jmoney = _joker_pass(
-        t, jokers, view_ranks, view_suits, smask, valid, ht,
-        t.chips_hand_env, t.mult_hand_env, t.x2_hand_env, t.x3_hand_env,
-        hands_left, discards_left, deck_size, key,
-    )
-    # Joker money is discarded in this path (written to a throwaway dict,
-    # balatro_env_2.py:688).
-    chips += jc
-    mult += jm
-    score = jnp.trunc(chips.astype(_F) * mult.astype(_F) * jx).astype(jnp.int64)
+    # final = int(chips * mult * x_mult) with x_mult == 1
+    # (unified_scoring.py:288-290).
+    score = jnp.trunc(chips.astype(_F) * mult.astype(_F)).astype(jnp.int64)
     return score, ht

@@ -14,10 +14,7 @@ deterministic.
 from __future__ import annotations
 
 from balatro_gym_tpu.core.cards import Edition, Enhancement, Seal
-from balatro_gym_tpu.core.constants import (
-    ENV_HAND_NAMES,
-    SIM_HAND_NAMES,
-)
+from balatro_gym_tpu.core.constants import SIM_HAND_NAMES
 from balatro_gym_tpu.oracle.hand_oracle import classify_env_oracle, evaluate_sim_oracle
 
 BASE = {
@@ -184,7 +181,13 @@ def score_sim_oracle(cards, enh, ed, seal, jokers, hands_left, discards_left,
 def score_env_oracle(cards, enh, ed, levels, jokers, hands_left,
                      discards_left):
     """UnifiedScorer path: classify from originals, all selected score,
-    modifiers contribute chips only, joker money dropped."""
+    modifiers contribute chips only.
+
+    NO joker effects: the scorer's joker loops require string entries
+    (unified_scoring.py:164/187/220 ``isinstance(joker_name, str)``) but the
+    env state's to_dict() supplies {'name','id'} dicts (balatro_env_2.py:219)
+    — PARITY #A38, verified live in tests/test_reference_differential.py."""
+    del jokers, hands_left, discards_left
     ht = classify_env_oracle(cards)
     level = levels[int(ht)]
     base_c, base_m = BASE[int(ht)]
@@ -192,9 +195,4 @@ def score_env_oracle(cards, enh, ed, levels, jokers, hands_left,
     mult = base_m + (level - 1)
     for i, (r, _) in enumerate(cards):
         chips += RANK_CHIP[r] + ENH_CHIP.get(enh[i], 0) + ED_CHIP.get(ed[i], 0)
-    jc, jm, jx, _money = _joker_effects(
-        jokers, cards, list(range(len(cards))), ENV_HAND_NAMES[int(ht)],
-        hands_left, discards_left, 52, enh_view=enh)
-    chips += jc
-    mult += jm
-    return int(chips * mult * jx), int(ht)
+    return int(chips * mult), int(ht)

@@ -78,18 +78,20 @@ def make_distributed_ppo(hooks: EnvHooks, cfg: PPOConfig, mesh: Mesh,
         raise ValueError(f"n_envs={cfg.n_envs} not divisible by mesh size {size}")
     init_fn, update_fn, policy_fn = make_ppo(hooks, cfg)
 
-    def sharded_init(key) -> TrainState:
-        ts = init_fn(key)
-        specs = _train_state_specs(ts, axis)
-        shardings = jax.tree.map(
-            lambda s: NamedSharding(mesh, s), specs,
-            is_leaf=lambda x: isinstance(x, P))
-        return jax.tree.map(jax.device_put, ts, shardings)
-
     # Spec trees are built from a throwaway abstract init so the shard_map
     # signature is known before any real state exists.
     abstract = jax.eval_shape(init_fn, jax.random.key(0))
     specs = _train_state_specs(abstract, axis)
+
+    def sharded_init(key) -> TrainState:
+        shardings = jax.tree.map(
+            lambda s: NamedSharding(mesh, s), specs,
+            is_leaf=lambda x: isinstance(x, P))
+        # jit with out_shardings (NOT device_put): under multi-process
+        # jax.distributed the mesh spans non-addressable devices, where
+        # device_put is illegal but SPMD computation is exactly what we
+        # want — every process runs the same init and keeps its shards.
+        return jax.jit(init_fn, out_shardings=shardings)(key)
     metric_specs = {k: P() for k in
                     ("loss", "pg_loss", "vf_loss", "entropy", "mean_reward",
                      "episodes")}

@@ -64,7 +64,7 @@ class DQNState:
     buf_reward: jnp.ndarray   # [cap] f32
     buf_next_obs: jnp.ndarray  # [cap, D] f32
     buf_next_mask: jnp.ndarray  # [cap, A] bool
-    buf_done: jnp.ndarray     # [cap] bool
+    buf_done: jnp.ndarray     # [cap] i8 (bool semantics; see ring-write note)
     buf_ptr: jnp.ndarray      # i32
     buf_len: jnp.ndarray      # i32
 
@@ -87,7 +87,9 @@ def make_dqn(hooks: EnvHooks, cfg: DQNConfig):
             buf_reward=jnp.zeros(cap, jnp.float32),
             buf_next_obs=jnp.zeros((cap, hooks.obs_dim), jnp.float32),
             buf_next_mask=jnp.ones((cap, hooks.n_actions), bool),
-            buf_done=jnp.zeros(cap, bool),
+            # i8, not bool: XLA:TPU silently drops dynamic-index BOOL
+            # scatter updates in vmapped programs (ring-writes below).
+            buf_done=jnp.zeros(cap, jnp.int8),
             buf_ptr=jnp.int32(0), buf_len=jnp.int32(0),
         )
 
@@ -123,7 +125,7 @@ def make_dqn(hooks: EnvHooks, cfg: DQNConfig):
             buf = (b_obs.at[idx].set(obs), b_a.at[idx].set(action),
                    b_r.at[idx].set(reward.astype(jnp.float32)),
                    b_no.at[idx].set(next_obs), b_nm.at[idx].set(next_mask),
-                   b_d.at[idx].set(done),
+                   b_d.at[idx].set(done.astype(jnp.int8)),
                    (ptr + cfg.n_envs) % cap,
                    jnp.minimum(blen + cfg.n_envs, cap))
             return (env_states, buf), (reward.astype(jnp.float32), done)
@@ -143,7 +145,7 @@ def make_dqn(hooks: EnvHooks, cfg: DQNConfig):
         s_r = b_r[sample]
         s_no = b_no[sample]
         s_nm = b_nm[sample]
-        s_d = b_d[sample]
+        s_d = b_d[sample].astype(bool)
 
         q_next = net.apply(ts.target_params, s_no, s_nm)
         target = s_r + cfg.gamma * jnp.max(q_next, -1) * (1.0 - s_d.astype(jnp.float32))

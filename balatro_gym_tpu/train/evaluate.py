@@ -16,13 +16,22 @@ import numpy as np
 
 def evaluate_policy(policy_fn: Callable, params: Any, hooks, n_episodes: int = 64,
                     max_steps: int = 256, seed: int = 0, greedy: bool = True,
-                    obs_stats=None):
+                    obs_stats=None, greedy_antiloop: bool = True):
     """Run one episode per env lane; returns aggregate stats.
 
     policy_fn(params, obs [B,D], mask [B,A]) -> (logits, value).
     obs_stats: pass TrainState.obs_stats when the policy was trained with
     the default observation normalization — eval inputs must match the
     training distribution.
+
+    greedy_antiloop: deterministic argmax policies can LIVELOCK on the
+    flagship env (e.g. toggling the same card selection forever — the env
+    is happy to repeat zero-reward steps indefinitely). When on, each lane
+    masks out actions already taken since its last nonzero-reward step, so
+    a cycling lane is forced through fresh actions until something scores
+    (the mask resets on nonzero reward, episode end, or when every legal
+    action has been tried). EVAL-ONLY heuristic, not part of the parity
+    contract (PARITY #B13); no effect when ``greedy=False``.
     """
     from balatro_gym_tpu.train.normalize import normalize
 
@@ -30,34 +39,54 @@ def evaluate_policy(policy_fn: Callable, params: Any, hooks, n_episodes: int = 6
     states = jax.vmap(hooks.reset)(jax.random.split(jax.random.key(seed), B))
 
     has_ante = hasattr(states, "ante")  # progression stat for the full env
+    # One episode per lane: stats freeze at each lane's first done, so the
+    # non-autoreset step (when the hooks expose one) is preferable — the
+    # post-step state then retains the TERMINAL ante, so an advance on the
+    # episode's final step is counted (done lanes freeze in fe.step and the
+    # policy's masked argmax on them is harmless).
+    step_fn = getattr(hooks, "step", None) or hooks.step_autoreset
+
+    n_actions = getattr(hooks, "n_actions", 0) or \
+        int(jax.eval_shape(hooks.action_mask,
+                           jax.eval_shape(hooks.reset, jax.random.key(0))).shape[-1])
 
     def body(carry, k):
-        sts, ep_rew, ep_len, done_flag, max_ante = carry
+        sts, ep_rew, ep_len, done_flag, max_ante, used = carry
         obs = jax.vmap(hooks.observe)(sts)
         if obs_stats is not None:
             obs = normalize(obs_stats, obs)
         mask = jax.vmap(hooks.action_mask)(sts)
         logits, _ = policy_fn(params, obs, mask)
+        if greedy and greedy_antiloop:
+            # Suppress already-tried actions; if that would leave no legal
+            # action, fall back to the unsuppressed logits (cycle covered
+            # the whole legal set — let it restart).
+            blocked = used & mask
+            any_free = jnp.any(mask & ~blocked, axis=-1, keepdims=True)
+            logits = jnp.where(blocked & any_free, -jnp.inf, logits)
+            used = jnp.where(any_free, used, jnp.zeros_like(used))
         action = jnp.where(greedy, jnp.argmax(logits, -1),
                            jax.random.categorical(k, logits))
-        sts2, rew, done = jax.vmap(hooks.step_autoreset)(sts, action)
+        sts2, rew, done = jax.vmap(step_fn)(sts, action)
+        if greedy and greedy_antiloop:
+            used = used | (jnp.arange(n_actions)[None, :] == action[:, None])
+            used = jnp.where(((jnp.abs(rew) > 1e-6) | done)[:, None],
+                             False, used)
         live = ~done_flag
         ep_rew = ep_rew + jnp.where(live, rew, 0.0).astype(jnp.float32)
         ep_len = ep_len + live.astype(jnp.int32)
-        if has_ante:  # track per-lane peak ante while the episode is live
+        if has_ante:  # track per-lane peak ante while the episode is live,
+            # including the post-step state (non-autoreset: terminal-step
+            # ante advances are observed too).
             max_ante = jnp.maximum(max_ante, jnp.where(live, sts.ante, 0))
+            max_ante = jnp.maximum(max_ante, jnp.where(live, sts2.ante, 0))
         done_flag = done_flag | done
-        if has_ante:
-            # Also fold in the post-step state so an ante advance on the
-            # final scan step is observed; lanes whose episode just ended
-            # are excluded (sts2 is the autoreset state there).
-            max_ante = jnp.maximum(max_ante,
-                                   jnp.where(~done_flag, sts2.ante, 0))
-        return (sts2, ep_rew, ep_len, done_flag, max_ante), None
+        return (sts2, ep_rew, ep_len, done_flag, max_ante, used), None
 
     init = (states, jnp.zeros(B, jnp.float32), jnp.zeros(B, jnp.int32),
-            jnp.zeros(B, bool), jnp.zeros(B, jnp.int32))
-    (states, ep_rew, ep_len, done_flag, max_ante), _ = jax.lax.scan(
+            jnp.zeros(B, bool), jnp.zeros(B, jnp.int32),
+            jnp.zeros((B, n_actions), bool))
+    (states, ep_rew, ep_len, done_flag, max_ante, _), _ = jax.lax.scan(
         body, init, jax.random.split(jax.random.key(seed + 1), max_steps))
     stats = {
         "episodes": int(np.sum(np.asarray(done_flag))),

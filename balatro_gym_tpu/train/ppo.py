@@ -39,6 +39,9 @@ class EnvHooks(NamedTuple):
     action_mask: Callable[..., Any]    # state -> [A] bool
     n_actions: int
     obs_dim: int
+    # Optional non-autoreset step: done lanes freeze instead of resetting.
+    # evaluate_policy prefers it so terminal-step ante advances are counted.
+    step: Any = None
 
 
 @struct.dataclass
@@ -259,6 +262,7 @@ def sim_env_hooks() -> EnvHooks:
     return EnvHooks(
         reset=sim_env.reset,
         step_autoreset=sim_env.step_autoreset,
+        step=sim_env.step_action,
         observe=sim_env.observe,
         action_mask=sim_env.action_mask,
         n_actions=10,
@@ -274,6 +278,7 @@ def full_env_hooks() -> EnvHooks:
     return EnvHooks(
         reset=full_env.reset,
         step_autoreset=full_env.step_autoreset,
+        step=full_env.step,
         observe=full_env.observe_vector,
         action_mask=full_env.action_mask,
         n_actions=Action.ACTION_SPACE_SIZE,

@@ -77,10 +77,22 @@ def test_mouth_locks_hand_type(step):
                [(9, 0), (9, 1), (14, 2), (13, 3)])
     st, r1, _ = play(step, st, [0, 1])   # pair
     assert float(r1) != -1.0
-    st, r2, _ = play(step, st, [2])      # high card: blocked
-    assert float(r2) == -1.0
+    # Playing [2] next classifies the accumulated highlight UNION over deck
+    # slots {0,1,2} = 9,9,A — still a PAIR (#A39/#A40, live-verified), so
+    # The Mouth ALLOWS it.
+    st, r2, _ = play(step, st, [2])
+    assert float(r2) != -1.0
     st, r3, _ = play(step, st, [0, 1])   # pair again: allowed
     assert float(r3) != -1.0
+
+    # A genuine block needs the locked type to differ from the union type:
+    # lock HIGH_CARD first, then a pair-classifying union is refused.
+    st2 = plant(with_boss(step, B.MOUTH),
+                [(9, 0), (9, 1), (14, 2), (13, 3)])
+    st2, r4, _ = play(step, st2, [2])     # high card locks the round
+    assert float(r4) != -1.0
+    st2, r5, _ = play(step, st2, [0, 1])  # union {0,1,2} = pair: blocked
+    assert float(r5) == -1.0
 
 
 def test_verdant_escalates_requirement(step):

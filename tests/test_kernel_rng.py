@@ -85,6 +85,45 @@ def test_randint(keys):
         np.testing.assert_array_equal(got, ref, err_msg=f"randint({lo},{hi})")
 
 
+def test_split_child(keys):
+    """split_child(i) == jax.random.split(key, n)[i] for the 4-way splits
+    the engines use (shop generation, consumables) and beyond (n=7)."""
+    ks, k1, k2 = keys
+    for n in (2, 4, 7):
+        ref = jax.vmap(lambda k: jax.random.split(k, n))(ks)   # [N, n] keys
+        rd = np.asarray(jax.vmap(jax.vmap(jax.random.key_data))(ref))
+        for i in range(n):
+            g1, g2 = KR.split_child(k1, k2, jnp.uint32(i))
+            np.testing.assert_array_equal(np.asarray(g1), rd[:, i, 0],
+                                          err_msg=f"split({n})[{i}] hi")
+            np.testing.assert_array_equal(np.asarray(g2), rd[:, i, 1],
+                                          err_msg=f"split({n})[{i}] lo")
+
+
+def test_randint_indexed_and_array_bounds(keys):
+    """The fused kernel's shaped draws: KR.randint(..., i=k) must equal
+    jax.random.randint(key, (n,), lo, hi)[k], including ARRAY bounds
+    (data-dependent spans, e.g. The Fool's cons_n-bounded pick)."""
+    ks, k1, k2 = keys
+    lo, hi = 1, 23
+    ref = np.asarray(jax.vmap(
+        lambda k: jax.random.randint(k, (5,), lo, hi, jnp.int32))(ks))
+    for i in range(5):
+        got = np.asarray(KR.randint(k1, k2, lo, hi, i))
+        np.testing.assert_array_equal(got, ref[:, i],
+                                      err_msg=f"randint[(5,)][{i}]")
+
+    # Array bounds: per-key maxval (jax broadcasts bounds over the shape).
+    maxv = (jnp.arange(N, dtype=jnp.int32) % 7) + 2
+    ref = np.asarray(jax.vmap(
+        lambda k, m: jax.random.randint(k, (), 0, m, jnp.int32))(ks, maxv))
+    got = np.asarray(KR.randint(k1, k2, jnp.int32(0), maxv))
+    np.testing.assert_array_equal(got, ref, err_msg="randint array maxval")
+    # Degenerate span (maxval == minval + 1) stays in range everywhere.
+    one = np.asarray(KR.randint(k1, k2, jnp.int32(3), jnp.int32(4)))
+    assert (one == 3).all()
+
+
 def test_inside_pallas_kernel(keys):
     """The same primitives, executed inside a Pallas kernel (interpret)."""
     from jax.experimental import pallas as pl
