@@ -24,7 +24,7 @@ def test_pallas_histograms_match_reference():
 
 def test_pallas_chip_sum_exact():
     ranks = jnp.zeros((TILE_B, 8), jnp.int32).at[0, :5].set(
-        jnp.asarray([10, 11, 12, 13, 14]))
+        jnp.asarray([10, 11, 12, 13, 14], jnp.int32))
     suits = jnp.zeros((TILE_B, 8), jnp.int32)
     mask = jnp.zeros((TILE_B, 8), bool).at[0, :5].set(True)
     _, _, chips = hand_histograms(ranks, suits, mask, interpret=True)
