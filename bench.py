@@ -5,12 +5,15 @@ Two workloads are measured and reported in ONE json line:
 
 * ``value`` (headline) — the single-blind sim engine (BASELINE config 1
   semantics: play/discard hand-scoring episodes through the full sim scoring
-  pipeline, 5 jokers, random legal policy, auto-reset) at 8192 lockstepped
+  pipeline, 5 jokers, random legal policy, auto-reset) at 131072 lockstepped
   envs via the fused whole-rollout Pallas kernel (ops/fused_rollout.py).
   The kernel is validated bit-exactly against the jnp engine on replayed
   action scripts (tests/test_fused_rollout.py, scripts/validate_fused_tpu.py).
+  Env counts are the measured saturation points of each kernel
+  (scripts/probe_env_counts.py: sim 326M@8k -> 635M@131k, flat after;
+  full 75M@8k -> 81M@16k).
 * ``full_env_steps_per_sec`` — the flagship Discrete(60) full-game env
-  (engine/full_env.py): 8192 envs through the fused full-env Pallas kernel
+  (engine/full_env.py): 16384 envs through the fused full-env Pallas kernel
   (ops/fused_full_rollout.py) when a TPU is present, else the jnp
   vmap+scan path with mask-legal random actions.
 
@@ -40,7 +43,12 @@ import jax.numpy as jnp
 from balatro_gym_tpu.engine import sim_env
 from balatro_gym_tpu.ops.fused_rollout import TILE, rollout_fused
 
-N_ENVS = 8192
+N_ENVS = 131072       # TPU sim-kernel shape: throughput saturates here
+N_ENVS_FULL = 16384   # TPU full-env kernel shape (diminishing returns past)
+N_ENVS_CPU = 8192     # CPU-baseline shape: CPU throughput is flat in env
+#                       count (cache/bandwidth-bound) — measured at its own
+#                       best shape so the ratio stays fair (see
+#                       scripts/probe_env_counts.py for the sweep)
 N_STEPS = 256
 JOKERS = (1, 31, 34, 48, 72)
 
@@ -81,18 +89,18 @@ def _fused_sim_throughput():
     return _median_spread(times, REPS * N_ENVS * N_STEPS)
 
 
-def _jnp_sim_throughput(device):
+def _jnp_sim_throughput(device, n_envs):
     """The jnp sim engine on `device` (the CPU baseline), same scan length
     as the TPU path; median-of-SAMPLES."""
     with jax.default_device(device):
         fn = jax.jit(sim_env.rollout_random, static_argnums=(1, 2))
-        jax.block_until_ready(fn(jax.random.key(0), N_ENVS, N_STEPS, JOKERS))
+        jax.block_until_ready(fn(jax.random.key(0), n_envs, N_STEPS, JOKERS))
         times = []
         for i in range(SAMPLES):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(jax.random.key(1 + i), N_ENVS, N_STEPS, JOKERS))
+            jax.block_until_ready(fn(jax.random.key(1 + i), n_envs, N_STEPS, JOKERS))
             times.append(time.perf_counter() - t0)
-    return _median_spread(times, N_ENVS * N_STEPS)
+    return _median_spread(times, n_envs * N_STEPS)
 
 
 def _full_env_throughput(on_accelerator: bool):
@@ -112,18 +120,19 @@ def _full_env_throughput(on_accelerator: bool):
         try:
             from balatro_gym_tpu.ops.fused_full_rollout import rollout_full_fused
 
+            nf_tiles = N_ENVS_FULL // TILE
             for s in (0, 100):
-                float(rollout_full_fused(s, N_ENVS, N_STEPS)["total_reward"][0])
+                float(rollout_full_fused(s, N_ENVS_FULL, N_STEPS)["total_reward"][0])
             times = []
             seed = 1
             for _ in range(SAMPLES):
                 t0 = time.perf_counter()
                 for _ in range(REPS):
-                    out = rollout_full_fused(seed, N_ENVS, N_STEPS)
-                    seed += N_TILES
+                    out = rollout_full_fused(seed, N_ENVS_FULL, N_STEPS)
+                    seed += nf_tiles
                 float(out["total_reward"][0])
                 times.append(time.perf_counter() - t0)
-            med, spread = _median_spread(times, REPS * N_ENVS * N_STEPS)
+            med, spread = _median_spread(times, REPS * N_ENVS_FULL * N_STEPS)
             return med, spread, "fused", None
         except Exception as e:  # noqa: BLE001 - reported, not swallowed
             fused_error = f"{type(e).__name__}: {e}"
@@ -131,7 +140,7 @@ def _full_env_throughput(on_accelerator: bool):
                   f"{fused_error[:2000]}", file=sys.stderr)
 
     if on_accelerator:
-        n_envs, n_steps = N_ENVS, 64
+        n_envs, n_steps = 8192, 64
     else:
         n_envs, n_steps = 512, 32  # jnp full env on 2 host cores: keep it short
     med, spread = _jnp_full_env_throughput(None, n_envs, n_steps)
@@ -178,14 +187,14 @@ def main():
     if on_accelerator:
         value, spread = _fused_sim_throughput()
     else:  # CPU-only fallback: the Pallas kernels need a TPU to lower
-        value, spread = _jnp_sim_throughput(jax.devices()[0])
+        value, spread = _jnp_sim_throughput(jax.devices()[0], N_ENVS_CPU)
 
     vs_baseline = 1.0
     cpu = None
     try:
         cpu = jax.devices("cpu")[0]
         if on_accelerator and cpu != jax.devices()[0]:
-            cpu_tput, _ = _jnp_sim_throughput(cpu)
+            cpu_tput, _ = _jnp_sim_throughput(cpu, N_ENVS_CPU)
             vs_baseline = value / cpu_tput
     except RuntimeError:
         cpu = None  # no separate cpu backend visible; report 1.0
@@ -200,13 +209,15 @@ def main():
         full_vs_baseline = full_tput / full_cpu_tput
 
     out = {
-        "metric": "env_steps_per_sec_8192envs",
+        "metric": "env_steps_per_sec",
         "value": round(value, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(vs_baseline, 3),
         "spread_pct": round(spread, 1),
         "samples": SAMPLES,
         "reps_per_sample": REPS,
+        "n_envs": N_ENVS if on_accelerator else N_ENVS_CPU,
+        "full_env_n_envs": N_ENVS_FULL if on_accelerator else 512,
         "full_env_steps_per_sec": round(full_tput, 1),
         "full_env_spread_pct": round(full_spread, 1),
         "full_env_path": full_path,

@@ -71,9 +71,10 @@ def main():
            "plain": run("plain", base, base, cfg, args.updates, seed=0),
            "progression": run("progression", prog, base, cfg, args.updates,
                               seed=0)}
-    d = {m: {k: out[m]["eval"]["sampled"].get(k) for k in
-             ("mean_ante", "max_ante", "episodes")} for m in
-         ("plain", "progression")}
+    d = {m: {mode: {k: out[m]["eval"][mode].get(k) for k in
+                    ("mean_ante", "max_ante", "episodes")}
+             for mode in ("sampled", "greedy_antiloop")}
+         for m in ("plain", "progression")}
     out["headline"] = d
     with open(OUT, "w") as f:
         json.dump(out, f, indent=1)
