@@ -16,13 +16,22 @@ import numpy as np
 
 def evaluate_policy(policy_fn: Callable, params: Any, hooks, n_episodes: int = 64,
                     max_steps: int = 256, seed: int = 0, greedy: bool = True,
-                    obs_stats=None, greedy_antiloop: bool = True):
+                    obs_stats=None, greedy_antiloop: bool = True,
+                    temperature: float = 1.0):
     """Run one episode per env lane; returns aggregate stats.
 
     policy_fn(params, obs [B,D], mask [B,A]) -> (logits, value).
     obs_stats: pass TrainState.obs_stats when the policy was trained with
     the default observation normalization — eval inputs must match the
     training distribution.
+
+    temperature: decode temperature for ``greedy=False`` — logits are
+    divided by it before sampling, interpolating between the training-time
+    stochastic policy (1.0) and argmax (→0). The flagship policies are much
+    stronger under low-temperature decoding than the sampled eval shows
+    (docs/training_summary_progression.json: greedy peak ante 21 vs
+    sampled 9.3), so report the temperature next to any eval number.
+    Ignored when ``greedy=True``.
 
     greedy_antiloop: deterministic argmax policies can LIVELOCK on the
     flagship env (e.g. toggling the same card selection forever — the env
@@ -66,7 +75,7 @@ def evaluate_policy(policy_fn: Callable, params: Any, hooks, n_episodes: int = 6
             logits = jnp.where(blocked & any_free, -jnp.inf, logits)
             used = jnp.where(any_free, used, jnp.zeros_like(used))
         action = jnp.where(greedy, jnp.argmax(logits, -1),
-                           jax.random.categorical(k, logits))
+                           jax.random.categorical(k, logits / temperature))
         sts2, rew, done = jax.vmap(step_fn)(sts, action)
         if greedy and greedy_antiloop:
             used = used | (jnp.arange(n_actions)[None, :] == action[:, None])

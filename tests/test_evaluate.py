@@ -26,6 +26,30 @@ def test_evaluate_trained_policy_with_stats():
     assert np.isfinite(stats2["mean_reward"])
 
 
+def test_evaluate_temperature_decoding():
+    """Low-temperature sampled decoding runs, stays mask-legal (finite
+    stats), and approaches the greedy policy's choices as T -> 0."""
+    hooks = sim_env_hooks()
+    cfg = PPOConfig(n_envs=16, rollout_len=4, epochs=1, minibatches=2,
+                    hidden=(32,))
+    init_fn, update_fn, policy_fn = make_ppo(hooks, cfg)
+    ts = init_fn(jax.random.key(0))
+    ts, _ = jax.jit(update_fn)(ts)
+    cold = evaluate_policy(policy_fn, ts.params, hooks, n_episodes=16,
+                           max_steps=16, greedy=False, temperature=1e-4,
+                           obs_stats=ts.obs_stats)
+    greedy = evaluate_policy(policy_fn, ts.params, hooks, n_episodes=16,
+                             max_steps=16, greedy=True, greedy_antiloop=False,
+                             obs_stats=ts.obs_stats)
+    assert np.isfinite(cold["mean_reward"])
+    # T->0 sampling == argmax decoding (same trajectories, same stats).
+    assert cold["mean_reward"] == greedy["mean_reward"]
+    warm = evaluate_policy(policy_fn, ts.params, hooks, n_episodes=16,
+                           max_steps=16, greedy=False, temperature=0.5,
+                           obs_stats=ts.obs_stats)
+    assert np.isfinite(warm["mean_reward"])
+
+
 def test_transcript_episode():
     from balatro_gym_tpu.envs import BalatroGymEnv
 
