@@ -235,8 +235,10 @@ def pack_full_state(st):
 
     bits = jnp.asarray(1, u32) << jnp.arange(32, dtype=u32)
     bp = st.boss_played_slots.astype(u32)
-    bp_lo = jnp.sum(bp[:, :32] * bits, axis=1)
-    bp_hi = jnp.sum(bp[:, 32:] * bits, axis=1)
+    # dtype pinned: under x64 jnp.sum would promote u32 -> u64 and the
+    # bitcast below would grow a trailing dim (tests pack x64-on states).
+    bp_lo = jnp.sum(bp[:, :32] * bits, axis=1, dtype=u32)
+    bp_hi = jnp.sum(bp[:, 32:] * bits, axis=1, dtype=u32)
 
     for row, val in [
         (S_HN, st.hand_n), (S_JN, st.joker_n), (S_GREEN, st.green_mult),

@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--summary", type=str, default="training_summary.json")
+    p.add_argument("--fused-rollout", action="store_true",
+                   help="collect rollouts through the single-step fused "
+                        "Pallas kernel (full env on TPU only; ~40x the jnp "
+                        "collection path)")
     return p
 
 
@@ -82,7 +86,9 @@ def main(argv=None) -> dict:
     hooks = sim_env_hooks() if args.env == "sim" else full_env_hooks()
     cfg = PPOConfig(n_envs=args.n_envs, rollout_len=args.rollout,
                     epochs=args.epochs, minibatches=args.minibatches,
-                    lr=args.lr)
+                    lr=args.lr, fused_rollout=args.fused_rollout)
+    if args.fused_rollout and args.env != "full":
+        raise SystemExit("--fused-rollout requires --env full")
 
     wandb_run = None
     if args.wandb:

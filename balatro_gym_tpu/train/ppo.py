@@ -63,6 +63,12 @@ class PPOConfig:
     normalize_reward: bool = True
     # bf16 matmuls for the policy net (MXU-native); params stay f32.
     bf16_compute: bool = False
+    # Collect rollouts through the single-step fused Pallas kernel
+    # (ops/fused_policy_rollout.py): the env step runs in-kernel and the
+    # policy runs feature-major on the MXU, ~40x the jnp collection path.
+    # Flagship full env only; requires a TPU (Mosaic). The learner update is
+    # unchanged — only the env side of the rollout moves into the kernel.
+    fused_rollout: bool = False
 
 
 @struct.dataclass
@@ -142,6 +148,63 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
         (env_states, ret_carry), (traj, raw_rewards, rets) = jax.lax.scan(
             body, (env_states, ret_carry), jax.random.split(key, cfg.rollout_len))
         return env_states, traj, raw_rewards, rets, ret_carry
+
+    def _rollout_fused(params, env_states, key, obs_stats, ret_stats,
+                       ret_carry):
+        """The same rollout contract as ``_rollout``, but the env step is
+        the single-step fused Pallas kernel and the policy runs
+        feature-major (envs on vector lanes — zero per-step transposes).
+        Trajectories carry [T, features, envs] blocks through the scan and
+        transpose ONCE at the end into ``_rollout``'s [T, envs, ...] layout.
+        """
+        from balatro_gym_tpu.ops import fused_policy_rollout as FP
+
+        cards, ints, rng = FP.tile_packed(FP.pack_full_state(env_states))
+        n_tiles = ints.shape[1]
+        obs_fm, mask_fm = FP.observe_tiles(cards, ints, rng)
+        dt = jnp.bfloat16 if cfg.bf16_compute else None
+
+        def body(carry, k):
+            cards, ints, rng, obs_fm, mask_fm, ret_carry = carry
+            obs2 = FP.flat_fm(obs_fm)
+            if cfg.normalize_obs:
+                obs2 = jnp.clip(
+                    (obs2 - obs_stats.mean[:, None])
+                    / jnp.sqrt(obs_stats.var[:, None] + 1e-8), -10.0, 10.0)
+            mask2 = FP.flat_fm(mask_fm) != 0
+            logits, value = FP.policy_apply_fm(params, obs2, mask2,
+                                               compute_dtype=dt)
+            action, log_prob = FP.sample_fm(k, logits)
+            cards, ints, rng, rew, done, obs_fm, mask_fm = FP.step_tiles(
+                cards, ints, rng, FP.unflat_fm(action[None], n_tiles))
+            reward = FP.flat_fm(rew)[0]
+            done = FP.flat_fm(done)[0] != 0
+            ret_carry = (ret_carry * cfg.gamma * (1.0 - done.astype(jnp.float32))
+                         + reward)
+            train_reward = (normalize_reward(ret_stats, reward)
+                            if cfg.normalize_reward else reward)
+            out = (obs2, mask2, action, log_prob, value, train_reward,
+                   reward, done, ret_carry)
+            return (cards, ints, rng, obs_fm, mask_fm, ret_carry), out
+
+        carry, (obs_s, mask_s, act_s, lp_s, val_s, trew_s, rew_s, done_s,
+                rets_s) = jax.lax.scan(
+            body, (cards, ints, rng, obs_fm, mask_fm, ret_carry),
+            jax.random.split(key, cfg.rollout_len))
+        cards, ints, rng, _, _, ret_carry = carry
+        env_states = FP.unpack_full_state(FP.untile_packed(cards, ints, rng))
+        traj = Transition(obs=obs_s.transpose(0, 2, 1),
+                          mask=mask_s.transpose(0, 2, 1),
+                          action=act_s, log_prob=lp_s, value=val_s,
+                          reward=trew_s, done=done_s)
+        return env_states, traj, rew_s, rets_s, ret_carry
+
+    if cfg.fused_rollout:
+        from balatro_gym_tpu.ops import fused_policy_rollout as FP
+
+        assert hooks.obs_dim == FP.OBS_DIM and hooks.n_actions == FP.N_ACTIONS, \
+            "fused_rollout supports the flagship full env only"
+        _rollout = _rollout_fused  # noqa: F811 - deliberate swap
 
     def _gae(traj: Transition, last_value):
         def body(carry, t):
