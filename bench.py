@@ -182,6 +182,47 @@ def _jnp_full_env_throughput(device, n_envs, n_steps, samples=2):
     return _median_spread(times, n_envs * n_steps)
 
 
+def _policy_collect_throughput():
+    """PPO env-side collection: feature-major ActorCritic -> single-step
+    fused kernel, scan'd (ops/fused_policy_rollout.py — what
+    PPOConfig(fused_rollout=True) runs). TPU only (Mosaic). Returns
+    (throughput, spread_pct, error)."""
+    try:
+        import jax.numpy as jnp  # noqa: F811 (module scope alias)
+
+        from balatro_gym_tpu.engine import full_env as fe
+        from balatro_gym_tpu.ops import fused_policy_rollout as FP
+        from balatro_gym_tpu.train.networks import ActorCritic
+
+        n_envs, n_steps, reps = 8192, 256, 4
+        net = ActorCritic(n_actions=FP.N_ACTIONS)
+        params = net.init(jax.random.key(1), jnp.zeros((1, FP.OBS_DIM)),
+                          jnp.ones((1, FP.N_ACTIONS), bool))
+        st0 = jax.jit(lambda k: jax.vmap(fe.reset)(
+            jax.random.split(k, n_envs)))(jax.random.key(4))
+        cards, ints, rng = FP.tile_packed(FP.pack_full_state(st0))
+        obs, mask = FP.observe_tiles(cards, ints, rng)
+        carry, traj = FP._collect(params, cards, ints, rng, obs, mask,
+                                  jax.random.key(5), n_steps)
+        float(traj["reward"][0, 0])  # compile + true sync
+        times = []
+        k = 10
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                carry, traj = FP._collect(params, *carry, jax.random.key(k),
+                                          n_steps)
+                k += 1
+            float(traj["reward"][0, 0])
+            times.append(time.perf_counter() - t0)
+        med, spread = _median_spread(times, reps * n_envs * n_steps)
+        return med, spread, None
+    except Exception as e:  # noqa: BLE001 - reported, not swallowed
+        err = f"{type(e).__name__}: {e}"
+        print(f"policy-collect bench FAILED: {err[:2000]}", file=sys.stderr)
+        return None, None, err
+
+
 def main():
     on_accelerator = jax.default_backend() != "cpu"
     if on_accelerator:
@@ -208,6 +249,11 @@ def main():
         full_cpu_tput, _ = _jnp_full_env_throughput(cpu, 512, 32)
         full_vs_baseline = full_tput / full_cpu_tput
 
+    # PPO env-side collection (policy-in-the-loop, fused kernel) — TPU only.
+    collect_tput = collect_spread = collect_err = None
+    if on_accelerator:
+        collect_tput, collect_spread, collect_err = _policy_collect_throughput()
+
     out = {
         "metric": "env_steps_per_sec",
         "value": round(value, 1),
@@ -225,6 +271,11 @@ def main():
     }
     if full_err is not None:
         out["full_env_error"] = full_err[:500]
+    if collect_tput is not None:
+        out["policy_collect_steps_per_sec"] = round(collect_tput, 1)
+        out["policy_collect_spread_pct"] = round(collect_spread, 1)
+    if collect_err is not None:
+        out["policy_collect_error"] = collect_err[:500]
     print(json.dumps(out))
 
 
