@@ -9,8 +9,11 @@ from __future__ import annotations
 
 from enum import IntEnum, unique
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+_I64 = jax.dtypes.canonicalize_dtype(jnp.int64)  # i64 under x64, i32 in production (no dtype warnings)
 
 # ---------------------------------------------------------------------------
 # Phases (constants.py:34-39)
@@ -155,8 +158,9 @@ def get_blind_chips(ante, blind_idx):
     extra = jnp.maximum(ante - 8, 0)
     # table dot, not lax.pow (backend-exact: core/pow_tables.py docstring)
     from balatro_gym_tpu.core import pow_tables as PT
-    return (base.astype(jnp.float64)
-            * PT.pow15(extra, jnp.float64)).astype(jnp.int64)
+    _f = jax.dtypes.canonicalize_dtype(jnp.float64)
+    return (base.astype(_f)
+            * PT.pow15(extra, _f)).astype(_I64)
 
 
 def get_blind_chips_py(ante: int, blind_idx: int) -> int:

@@ -43,6 +43,8 @@ import numpy as np
 from balatro_gym_tpu.core import cards as C
 from balatro_gym_tpu.core import rng as R
 
+_F64 = jax.dtypes.canonicalize_dtype(jnp.float64)
+
 # Consumable obs ids (balatro_env_2.py:1543-1567).
 TAROT_BASE, NUM_TAROT = 1, 22
 PLANET_BASE, NUM_PLANET = 30, 12
@@ -72,10 +74,20 @@ for _t, _e, _k in [
 ENH_TAROT = jnp.asarray(_ENH_TAROT)
 ENH_COUNT = jnp.asarray(_ENH_COUNT)
 
-# Seal applied by spectral cards (consumables.py:462-560).
+# Seal applied by spectral cards (consumables.py:462-560) — BUG-FAITHFUL
+# (#A42): SpectralEffects writes consumables.py's OWN Seal enum (RED=1,
+# BLUE=2, GOLD=3, PURPLE=4; consumables.py:56-61), whose VALUES disagree
+# with cards.py's (GOLD=1, RED=2, BLUE=3; cards.py:85-91) that the play
+# path interprets. So Talisman's 'Gold' seal (3) behaves as a BLUE seal
+# (planet on play), Deja Vu's 'Red' (1) as GOLD (+$3), Trance's 'Blue' (2)
+# as RED (retrigger); only Medium's PURPLE (4) agrees. We store the
+# value the reference stores — the cross-enum raw int — live-verified by
+# the round-4 differential harness.
 _SEAL_SPEC = np.zeros(68, np.int32)
-for _s, _v in [(TALISMAN, C.Seal.GOLD), (DEJA_VU, C.Seal.RED),
-               (TRANCE, C.Seal.BLUE), (MEDIUM, C.Seal.PURPLE)]:
+for _s, _v in [(TALISMAN, C.Seal.BLUE),   # 'GOLD' in the consumables enum
+               (DEJA_VU, C.Seal.GOLD),    # 'RED'
+               (TRANCE, C.Seal.RED),      # 'BLUE'
+               (MEDIUM, C.Seal.PURPLE)]:
     _SEAL_SPEC[_s] = _v
 SEAL_SPEC = jnp.asarray(_SEAL_SPEC)
 
@@ -170,6 +182,59 @@ def _create_cards(st, n, ranks_n, suits_n, enh_n):
     )
 
 
+def _consumable_rolls(key, st):
+    """Every chance outcome ``use_consumable`` can consume, as one bundle.
+
+    Module-level seam (monkeypatchable like ``full_env._play_rolls``) so the
+    live differential-replay harness can force the reference's recorded
+    consumable outcomes (tests/test_reference_differential.py). The default
+    draws reproduce the original inline ``jax.random`` sequence bit-exactly
+    — same split tree, same per-key draw order (including the deliberate
+    k1 reuse between Aura and Wheel) — so the jnp engine and the fused
+    kernel's ops/kernel_rng mirror are unchanged.
+
+    Familiar/Grim/Incantation rank pools: the original drew BOTH the
+    face-rank (0..3) and number-rank (0..9) variants from the same per-lane
+    key inside a cid-select; both pools are returned and the caller selects
+    by cid, which is the identical computation.
+    """
+    fe = _fe()
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    ks4 = jax.random.split(k4, 4)
+    return {
+        # Aura / Wheel of Fortune (consumables.py:220-231, 473-480)
+        "aura_ed": EDITIONS3[jax.random.randint(k1, (), 0, 3)],
+        "wheel_fired": jax.random.uniform(k1) < 0.25,
+        "wheel_ed": EDITIONS3[jax.random.randint(k2, (), 0, 3)],
+        # High Priestess / Judgement planets, Emperor tarots, Fool copy
+        "planet9": PLANET_BASE + jax.random.randint(k2, (2,), 0, 9,
+                                                    dtype=jnp.int32),
+        "tarot22": ENUMNAME_OFFSET + TAROT_BASE + jax.random.randint(
+            k2, (2,), 0, 22, dtype=jnp.int32),
+        "fool_pick": st.cons[jax.random.randint(
+            k2, (), 0, jnp.maximum(1, st.cons_n), dtype=jnp.int32)],
+        # Wraith / The Soul joker draws (consumables.py:482-486, 597-606)
+        "wraith_id": WRAITH_JOKERS[jax.random.randint(k3, (), 0, 14,
+                                                      dtype=jnp.int32)],
+        "soul_id": SOUL_JOKERS[jax.random.randint(k3, (), 0, 5,
+                                                  dtype=jnp.int32)],
+        # Familiar/Grim/Incantation creation pools (consumables.py:389-460)
+        "rank3_pool": 11 + jax.vmap(lambda k: jax.random.randint(
+            k, (), 0, 3, dtype=jnp.int32))(ks4),
+        "rank9_pool": 2 + jax.vmap(lambda k: jax.random.randint(
+            k, (), 0, 9, dtype=jnp.int32))(ks4),
+        "suit_pool": jax.random.randint(jax.random.fold_in(k4, 9), (4,), 0, 4,
+                                        dtype=jnp.int32),
+        "enh_pool": ENH_POOL7[jax.random.randint(
+            jax.random.fold_in(k4, 10), (4,), 0, 7, dtype=jnp.int32)],
+        # Sigil / Ouija conversions (consumables.py:497-516)
+        "conv_suit": jax.random.randint(k3, (), 0, 4, dtype=jnp.int32),
+        "conv_rank": 2 + jax.random.randint(k3, (), 0, 13, dtype=jnp.int32),
+        # Immolate destruction priorities (consumables.py:518-530)
+        "immo_bits": jax.random.bits(k3, (fe.MAX_DECK,), jnp.uint32),
+    }
+
+
 def use_consumable(st, idx):
     """USE_CONSUMABLE action body. Returns (state, reward).
 
@@ -186,9 +251,9 @@ def use_consumable(st, idx):
     n_sel = jnp.sum(sel).astype(jnp.int32)
 
     key, st = fe._stream(st, "consumable_effects")
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    rolls = _consumable_rolls(key, st)
 
-    reward = jnp.zeros((), jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    reward = jnp.zeros((), _F64 if jax.config.jax_enable_x64 else jnp.float32)
     success = jnp.zeros((), bool)
     F = reward.dtype
 
@@ -216,16 +281,16 @@ def use_consumable(st, idx):
 
     # ---- Aura: random edition on first selected (consumables.py:473-480) --
     do_aura = (cid == AURA) & (n_sel >= 1)
-    aura_ed = EDITIONS3[jax.random.randint(k1, (), 0, 3)]
+    aura_ed = rolls["aura_ed"]
     st = st.replace(card_ed=jnp.where(
         do_aura, _apply_card_channel(st, tgt_seal, st.card_ed, aura_ed), st.card_ed))
     reward += jnp.where(do_aura, 2.0, 0.0)
     success |= do_aura
 
     # ---- Wheel of Fortune: 25% random edition (consumables.py:220-231) ---
-    fired = jax.random.uniform(k1) < 0.25
+    fired = rolls["wheel_fired"]
     do_wheel = (cid == WHEEL) & (n_sel >= 1) & fired
-    wheel_ed = EDITIONS3[jax.random.randint(k2, (), 0, 3)]
+    wheel_ed = rolls["wheel_ed"]
     st = st.replace(card_ed=jnp.where(
         do_wheel, _apply_card_channel(st, tgt_seal, st.card_ed, wheel_ed), st.card_ed))
     reward += jnp.where(do_wheel, 2.0, 0.0)
@@ -270,10 +335,9 @@ def use_consumable(st, idx):
     # same gate after the pop (balatro_env_2.py:1094,1156-1159).
     slots_gate1 = st.cons_n < st.cons_slots          # first in-effect append
     slots_gate2 = st.cons_n + 1 < st.cons_slots      # second in-effect append
-    planet9 = PLANET_BASE + jax.random.randint(k2, (2,), 0, 9, dtype=jnp.int32)
-    tarot22 = ENUMNAME_OFFSET + TAROT_BASE + jax.random.randint(
-        k2, (2,), 0, 22, dtype=jnp.int32)
-    fool_pick = st.cons[jax.random.randint(k2, (), 0, jnp.maximum(1, st.cons_n), dtype=jnp.int32)]
+    planet9 = rolls["planet9"]
+    tarot22 = rolls["tarot22"]
+    fool_pick = rolls["fool_pick"]
 
     do_hp = cid == HIGH_PRIESTESS
     do_emp = cid == EMPEROR
@@ -309,8 +373,8 @@ def use_consumable(st, idx):
     jslot_free = st.joker_n < st.joker_slots
     do_wraith = (cid == WRAITH) & jslot_free
     do_soul = (cid == THE_SOUL) & jslot_free
-    wid = WRAITH_JOKERS[jax.random.randint(k3, (), 0, 14, dtype=jnp.int32)]
-    sid = SOUL_JOKERS[jax.random.randint(k3, (), 0, 5, dtype=jnp.int32)]
+    wid = rolls["wraith_id"]
+    sid = rolls["soul_id"]
     new_jid = jnp.where(do_soul, sid, wid)
     add_joker = (do_wraith | do_soul) & (new_jid > 0)
     jpos = jnp.clip(st.joker_n, 0, fe.MAX_JOKERS - 1)
@@ -349,13 +413,11 @@ def use_consumable(st, idx):
     is_fgi = (cid == FAMILIAR) | (cid == GRIM) | (cid == INCANTATION)
     do_fgi = is_fgi & (n_sel >= 1)
     n_create = jnp.where(cid == FAMILIAR, 3, jnp.where(cid == GRIM, 2, 4))
-    rank_pool = jax.vmap(lambda k: jnp.where(
-        cid == FAMILIAR, 11 + jax.random.randint(k, (), 0, 3, dtype=jnp.int32),
-        jnp.where(cid == GRIM, 14,
-                  2 + jax.random.randint(k, (), 0, 9, dtype=jnp.int32)))
-    )(jax.random.split(k4, 4))
-    suit_pool = jax.random.randint(jax.random.fold_in(k4, 9), (4,), 0, 4, dtype=jnp.int32)
-    enh_pool = ENH_POOL7[jax.random.randint(jax.random.fold_in(k4, 10), (4,), 0, 7, dtype=jnp.int32)]
+    rank_pool = jnp.where(
+        cid == FAMILIAR, rolls["rank3_pool"],
+        jnp.where(cid == GRIM, 14, rolls["rank9_pool"]))
+    suit_pool = rolls["suit_pool"]
+    enh_pool = rolls["enh_pool"]
     kill1 = _hand_to_deck_mask(st, tgt_seal)
     fgi_st = _create_cards(_destroy_slots(st, kill1), n_create,
                            rank_pool, suit_pool, enh_pool)
@@ -365,8 +427,8 @@ def use_consumable(st, idx):
 
     # Sigil / Ouija: convert the whole hand's suit/rank (intended).
     do_sigil = (cid == SIGIL) & (st.hand_n > 0)
-    conv_suit = jax.random.randint(k3, (), 0, 4, dtype=jnp.int32)
-    conv_rank = 2 + jax.random.randint(k3, (), 0, 13, dtype=jnp.int32)
+    conv_suit = rolls["conv_suit"]
+    conv_rank = rolls["conv_rank"]
     hand_mask64 = _hand_to_deck_mask(
         st, jnp.arange(fe.MAX_HAND) < st.hand_n)
     st = st.replace(
@@ -384,8 +446,7 @@ def use_consumable(st, idx):
     # Sign-flipped i32 ordering (core.rng.sort_key_i32): u32 argmax
     # mis-orders on XLA:TPU inside fused programs; i32 is what the fused
     # kernel compares too, keeping backends bit-identical.
-    g = R.sort_key_i32(jax.random.bits(k3, (fe.MAX_DECK,), jnp.uint32),
-                       st.card_alive)
+    g = R.sort_key_i32(rolls["immo_bits"], st.card_alive)
     # Iterated argmax (top_k lowers to a sort on TPU; this runs every step).
     n_kill = jnp.minimum(5, jnp.sum(st.card_alive))
     immo_kill = jnp.zeros(fe.MAX_DECK, bool)

@@ -63,6 +63,9 @@ from balatro_gym_tpu.ops import joker_tables as JT
 from balatro_gym_tpu.ops.hand_eval import classify_env
 from balatro_gym_tpu.ops.scoring import score_env_unified
 
+_I64 = jax.dtypes.canonicalize_dtype(jnp.int64)  # i64 under x64, i32 in production (no dtype warnings)
+_F64 = jax.dtypes.canonicalize_dtype(jnp.float64)
+
 MAX_DECK = 64     # 52 base + growth slots (spectral creation, later)
 MAX_HAND = 10     # hand_size 8 default; boss/consumables can shift it
 SEL = 8           # selection actions cover hand positions 0-7
@@ -70,7 +73,11 @@ MAX_JOKERS = 5
 MAX_CONS = 5      # obs exposes 5 consumable slots (slots default 2)
 NA = Action.ACTION_SPACE_SIZE
 
-_F = jnp.float64  # canonicalizes to f32 without x64
+# Parity float dtype: f64 under the x64 test config, f32 in production.
+# Resolved ONCE at import via canonicalize_dtype — unlike a bare
+# float64 literal, this emits no 'requested dtype' UserWarning per
+# call site under f32 runtimes (bench/dryrun artifact hygiene).
+_F = jax.dtypes.canonicalize_dtype(jnp.float64)
 
 
 @struct.dataclass
@@ -180,8 +187,8 @@ def reset(key) -> FullEnvState:
         joker_slots=jnp.int32(5), cons_slots=jnp.int32(2),
         ante=jnp.int32(1), round=jnp.int32(1),
         phase=jnp.int32(Phase.BLIND_SELECT),
-        chips_needed=jnp.int64(300), chips_scored=jnp.int64(0),
-        round_chips_scored=jnp.int64(0), money=jnp.int32(4),
+        chips_needed=jnp.asarray(300, _I64), chips_scored=jnp.asarray(0, _I64),
+        round_chips_scored=jnp.asarray(0, _I64), money=jnp.int32(4),
         hands_left=jnp.int32(4), discards_left=jnp.int32(3),
         hand_size=jnp.int32(8),
         hand_levels=jnp.ones(NUM_HAND_TYPES, jnp.int32),
@@ -197,7 +204,7 @@ def reset(key) -> FullEnvState:
         boss_verdant_req=jnp.int32(5),
         boss_played_slots=jnp.zeros(MAX_DECK, bool),
         hands_played_total=jnp.int32(0), hands_played_ante=jnp.int32(0),
-        best_hand_this_ante=jnp.int64(0), jokers_sold=jnp.int32(0),
+        best_hand_this_ante=jnp.asarray(0, _I64), jokers_sold=jnp.int32(0),
         key=key, rng_counters=counters,
         done=jnp.zeros((), bool), step_count=jnp.int32(0),
     )
@@ -323,8 +330,8 @@ def _advance_round(st: FullEnvState) -> FullEnvState:
 
     st_base = st.replace(
         money=money, ante=new_ante, round=new_round,
-        round_chips_scored=jnp.int64(0),
-        best_hand_this_ante=jnp.int64(0), hands_played_ante=jnp.int32(0),
+        round_chips_scored=jnp.asarray(0, _I64),
+        best_hand_this_ante=jnp.asarray(0, _I64), hands_played_ante=jnp.int32(0),
         boss_active=jnp.zeros((), bool), boss_id=jnp.int32(-1),
         boss_played_types=jnp.uint32(0), boss_first_hand=jnp.ones((), bool),
         boss_verdant_req=jnp.int32(5),
@@ -446,21 +453,23 @@ def _play_hand(st: FullEnvState):
     steel_held = held & ~sel10 & is_steel
     # table dot, not lax.pow (backend-exact: core/pow_tables.py docstring)
     steel_mult = PT.pow15(jnp.sum(steel_held), _F)
-    final_score = jnp.trunc(base_score.astype(_F) * steel_mult).astype(jnp.int64)
+    final_score = jnp.trunc(base_score.astype(_F) * steel_mult).astype(_I64)
 
     # --- boss scoring ratio (balatro_env_2.py:744-755) ---
-    level = st.hand_levels[ht].astype(jnp.int64)
-    base_c = BASE_HAND_CHIPS[ht].astype(jnp.int64) + (level - 1) * 10
-    base_m = BASE_HAND_MULT[ht].astype(jnp.int64) + (level - 1)
+    # engine.get_hand_chips_mult reads the ENGINE level, clamped at 15 by
+    # apply_planet (scoring_engine.py:84) — see score_env_unified (#A41).
+    level = jnp.minimum(st.hand_levels[ht], 15).astype(_I64)
+    base_c = BASE_HAND_CHIPS[ht].astype(_I64) + (level - 1) * 10
+    base_m = BASE_HAND_MULT[ht].astype(_I64) + (level - 1)
     H8 = _hand_onehot(st)[:SEL]
     played_before = sel & ((H8 @ st.boss_played_slots.astype(jnp.float32)) > 0)
     ratio = B.scoring_ratio(st.boss_id, st.boss_active, base_c, base_m,
                             ranks, sel, played_before)
-    final_score = jnp.trunc(final_score.astype(_F) * ratio).astype(jnp.int64)
+    final_score = jnp.trunc(final_score.astype(_F) * ratio).astype(_I64)
 
     # --- retrigger (balatro_env_2.py:757-759) ---
     final_score = jnp.trunc(
-        final_score.astype(_F) * (1.0 + 0.5 * n_red.astype(_F))).astype(jnp.int64)
+        final_score.astype(_F) * (1.0 + 0.5 * n_red.astype(_F))).astype(_I64)
 
     # --- state updates ---
     old_round_score = st.round_chips_scored
@@ -777,7 +786,7 @@ def _select_blind(st: FullEnvState, blind_type):
     d_disc, d_hsize, d_hands = B.activation_mods(boss_id)
     st = st.replace(
         round=blind_type.astype(jnp.int32) + 1,
-        chips_needed=chips.astype(jnp.int64),
+        chips_needed=chips.astype(_I64),
         discards_left=jnp.where(is_boss & (d_disc >= 0), d_disc, st.discards_left),
         hand_size=jnp.where(is_boss, st.hand_size + d_hsize, st.hand_size),
         hands_left=jnp.where(is_boss & (d_hands >= 0), d_hands, st.hands_left),

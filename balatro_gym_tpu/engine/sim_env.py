@@ -22,11 +22,13 @@ from flax import struct
 from balatro_gym_tpu.core import cards as C
 from balatro_gym_tpu.ops.scoring import score_sim
 
+_I64 = jax.dtypes.canonicalize_dtype(jnp.int64)  # i64 under x64, i32 in production (no dtype warnings)
+
 HAND_SIZE = 8
 DECK_SIZE = 52
 MAX_JOKERS = 5
 
-_F = jnp.float64
+_F = jax.dtypes.canonicalize_dtype(jnp.float64)  # no f64 warnings under f32
 
 
 @struct.dataclass
@@ -74,7 +76,7 @@ def reset(key, jokers=None, blind_requirement=300, money=4):
         hand_n=jnp.int32(0),
         money=jnp.int32(money), ante=jnp.int32(1),
         hands_left=jnp.int32(4), discards_left=jnp.int32(3),
-        score=jnp.int64(0), blind_requirement=jnp.int64(blind_requirement),
+        score=jnp.asarray(0, _I64), blind_requirement=jnp.asarray(blind_requirement, _I64),
         jokers=jok, key=key, done=jnp.zeros((), bool),
     )
     return _refill(st)

@@ -52,7 +52,9 @@ class ScoreEngine:
                 int(BASE_HAND_MULT[ht]) + (level - 1))
 
     def apply_planet(self, hand_type: HandType) -> None:
-        self.hand_levels[HandType(hand_type)] += 1
+        # Clamped at 15 like the reference engine (scoring_engine.py:82-85).
+        ht = HandType(hand_type)
+        self.hand_levels[ht] = min(self.hand_levels[ht] + 1, 15)
 
     def apply_planet_by_name(self, planet: str) -> None:
         self.apply_planet(HandType(int(PLANET_HAND[PLANET_NAMES.index(planet)])))

@@ -39,6 +39,8 @@ from balatro_gym_tpu.engine import shop_logic as SL
 from balatro_gym_tpu.ops.hand_eval import macro_select
 from balatro_gym_tpu.ops.scoring import score_sim
 
+_I64 = jax.dtypes.canonicalize_dtype(jnp.int64)  # i64 under x64, i32 in production (no dtype warnings)
+
 HAND = 8
 ACTION_SPACE_SIZE = 70
 PHASE_PLAY, PHASE_SHOP = 0, 1
@@ -104,7 +106,7 @@ def reset(key) -> MacroEnvState:
     st = MacroEnvState(
         deck_rank=dr, deck_suit=ds, deck_ptr=jnp.int32(0),
         hand_rank=jnp.zeros(HAND, jnp.int32), hand_suit=jnp.zeros(HAND, jnp.int32),
-        chips=jnp.int32(100), score_total=jnp.int64(0),
+        chips=jnp.int32(100), score_total=jnp.asarray(0, _I64),
         ante=jnp.int32(1), hands_left=jnp.int32(4), discards_left=jnp.int32(3),
         jokers=jnp.zeros(8, jnp.int32), joker_n=jnp.int32(0),
         purchased_cards=jnp.int32(0),

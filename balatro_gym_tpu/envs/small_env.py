@@ -26,6 +26,8 @@ from balatro_gym_tpu.core import cards as C
 from balatro_gym_tpu.core.constants import BASE_HAND_CHIPS, BASE_HAND_MULT
 from balatro_gym_tpu.ops.hand_eval import classify_env
 
+_I64 = jax.dtypes.canonicalize_dtype(jnp.int64)  # i64 under x64, i32 in production (no dtype warnings)
+
 HAND = 8
 DECK = 52
 MAX_HL = 5
@@ -55,7 +57,7 @@ def reset(chip_threshold: int = 500) -> SmallEnvState:
         played=jnp.zeros(DECK, bool),
         hand_idx=jnp.full(HAND, -1, jnp.int32), hand_n=jnp.int32(0),
         hl=jnp.full(MAX_HL, -1, jnp.int32), hl_n=jnp.int32(0),
-        round_score=jnp.int64(0),
+        round_score=jnp.asarray(0, _I64),
         hands_left=jnp.int32(4), discards_left=jnp.int32(3),
         done=jnp.zeros((), bool),
     )
@@ -110,7 +112,7 @@ def step(st: SmallEnvState, action, chip_threshold: int = 500,
     ranks = st.deck_rank[idx]
     suits = st.deck_suit[idx]
     ht = classify_env(ranks, suits, hlm)
-    score = (BASE_HAND_CHIPS[ht] * BASE_HAND_MULT[ht]).astype(jnp.int64)
+    score = (BASE_HAND_CHIPS[ht] * BASE_HAND_MULT[ht]).astype(_I64)
     played_mark = jnp.any(
         (jnp.arange(DECK)[:, None] == jnp.where(hlm, idx, -1)[None, :]),
         axis=1)

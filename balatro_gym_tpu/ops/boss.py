@@ -30,6 +30,9 @@ import numpy as np
 from balatro_gym_tpu.core import pow_tables as PT
 from balatro_gym_tpu.core import rng as R
 
+_I64 = jax.dtypes.canonicalize_dtype(jnp.int64)  # i64 under x64, i32 in production (no dtype warnings)
+_F64 = jax.dtypes.canonicalize_dtype(jnp.float64)
+
 N_BOSS = 29  # ids 1..28; row 0 unused
 
 (HOOK, WALL, WHEEL, HOUSE, MARK, FISH, PSYCHIC, GOAD, WATER, WINDOW, MANACLE,
@@ -127,15 +130,15 @@ def scoring_ratio(boss_id, active, base_chips, base_mult, ranks, sel,
     (The Pillar, via object identity in the reference).
     Suit debuffs are dead (string-compare bug) and omitted.
     """
-    f = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    c = base_chips.astype(jnp.int64)
-    m = base_mult.astype(jnp.int64)
+    f = _F64 if jax.config.jax_enable_x64 else jnp.float32
+    c = base_chips.astype(_I64)
+    m = base_mult.astype(_I64)
 
     c = jnp.where(boss_id == FLINT, c // 2, c)
     m = jnp.where(boss_id == FLINT, m // 2, m)
     c = jnp.where(boss_id == OXIDE, 0, c)
-    c = jnp.where(boss_id == ARM, jnp.trunc(c.astype(f) * 0.75).astype(jnp.int64), c)
-    m = jnp.where(boss_id == ARM, jnp.trunc(m.astype(f) * 0.75).astype(jnp.int64), m)
+    c = jnp.where(boss_id == ARM, jnp.trunc(c.astype(f) * 0.75).astype(_I64), c)
+    m = jnp.where(boss_id == ARM, jnp.trunc(m.astype(f) * 0.75).astype(_I64), m)
 
     plant = jnp.sum(sel & (ranks >= 11) & (ranks <= 13))
     violet = jnp.sum(sel)
@@ -146,8 +149,8 @@ def scoring_ratio(boss_id, active, base_chips, base_mult, ranks, sel,
     # table dot, not lax.pow — TPU pow(0.8, n) is approximate and flips
     # trunc() integers across backends (core/pow_tables.py docstring)
     pen = PT.pow08(n_debuff, f)
-    c = jnp.where(n_debuff > 0, jnp.trunc(c.astype(f) * pen).astype(jnp.int64), c)
-    m = jnp.where(n_debuff > 0, jnp.trunc(m.astype(f) * pen).astype(jnp.int64), m)
+    c = jnp.where(n_debuff > 0, jnp.trunc(c.astype(f) * pen).astype(_I64), c)
+    m = jnp.where(n_debuff > 0, jnp.trunc(m.astype(f) * pen).astype(_I64), m)
 
     ok = active & (base_chips > 0) & (base_mult > 0)
     ratio = (c.astype(f) / jnp.maximum(1, base_chips).astype(f)) * \

@@ -91,6 +91,8 @@ N_LVL = 12
 N_CTR = 16
 
 i32, u32, f32 = jnp.int32, jnp.uint32, jnp.float32
+# i64 under x64, i32 in production (no dtype-request warnings under f32).
+_i64 = jax.dtypes.canonicalize_dtype(jnp.int64)
 
 # ---------------------------------------------------------------------------
 # Packed-state row maps (host <-> kernel)
@@ -299,9 +301,9 @@ def unpack_full_state(packed, key_ref=None):
         vouchers=ints[S_VOU].astype(u32),
         joker_slots=ints[S_JSLOTS], cons_slots=ints[S_CSLOTS],
         ante=ints[S_ANTE], round=ints[S_ROUND], phase=ints[S_PHASE],
-        chips_needed=ints[S_NEED].astype(jnp.int64),
-        chips_scored=ints[S_CAREER].astype(jnp.int64),
-        round_chips_scored=ints[S_RCHIPS].astype(jnp.int64),
+        chips_needed=ints[S_NEED].astype(_i64),
+        chips_scored=ints[S_CAREER].astype(_i64),
+        round_chips_scored=ints[S_RCHIPS].astype(_i64),
         money=ints[S_MONEY], hands_left=ints[S_HL], discards_left=ints[S_DL],
         hand_size=ints[S_HSIZE],
         hand_levels=rows(R_LVL, 12), hand_play_counts=rows(R_PC, 12),
@@ -314,7 +316,7 @@ def unpack_full_state(packed, key_ref=None):
         boss_verdant_req=ints[S_BVERD],
         boss_played_slots=bp,
         hands_played_total=ints[S_HPT], hands_played_ante=ints[S_HPA],
-        best_hand_this_ante=ints[S_BEST].astype(jnp.int64),
+        best_hand_this_ante=ints[S_BEST].astype(_i64),
         jokers_sold=ints[S_JSOLD],
         key=key, rng_counters=rng[2:].T,
         done=ints[S_DONE].astype(bool), step_count=ints[S_STEPC],
@@ -664,6 +666,9 @@ def _score_play(s, rng, view, k_score):
     level = zero
     for h in range(12):
         level = level + jnp.where(ht_is[h], s["lvl"][h], 0)
+    # Engine-side clamp at 15 (scoring_engine.py:84); the carried lvl rows
+    # stay unclamped like state.hand_levels — full_env #A41 mirror.
+    level = jnp.minimum(level, 15)
     chips = zero
     mult = zero
     for h in range(12):
@@ -1837,6 +1842,15 @@ def _reset_updates(s, rng):
 # ---------------------------------------------------------------------------
 
 
+# PROFILING-ONLY ablation switches (scripts/ablate_fused_full.py): comma
+# list in $FF_ABLATE stubs whole stages of the step body at TRACE TIME to
+# attribute kernel wall time. Read once at import; any non-empty value
+# BREAKS env semantics — never set outside the ablation probe.
+import os as _os  # noqa: E402
+
+_ABLATE = frozenset(x for x in _os.environ.get("FF_ABLATE", "").split(",") if x)
+
+
 def _step(s, a, rng, pow115, pow15):
     """One full_env.step_autoreset, branch-free. Returns (s', reward, done)."""
     zero = jnp.zeros((SUB, LANES), i32)
@@ -1862,9 +1876,21 @@ def _step(s, a, rng, pow115, pow15):
     do_bsel = in_blind & (a >= 45) & (a < 48)
     do_skip = in_blind & (a == Action.SKIP_BLIND)
 
-    play_upd, r_play, beat, fail, boss_ok, k_boss = _play_branch(s, rng, view)
-    disc_upd, r_disc = _discard_branch(s, rng, view)
-    cons_upd, r_use = _consumable_branch(s, rng, view, a)
+    if "play" in _ABLATE:
+        play_upd, r_play = {}, jnp.zeros((SUB, LANES), f32)
+        beat, fail, boss_ok = false, false, ~false
+        k_boss = rng.stream(s, "boss_abilities")[0] if rng.exact else (None,)
+    else:
+        play_upd, r_play, beat, fail, boss_ok, k_boss = _play_branch(
+            s, rng, view)
+    if "disc" in _ABLATE:
+        disc_upd, r_disc = {}, jnp.zeros((SUB, LANES), f32)
+    else:
+        disc_upd, r_disc = _discard_branch(s, rng, view)
+    if "cons" in _ABLATE:
+        cons_upd, r_use = {}, jnp.zeros((SUB, LANES), f32)
+    else:
+        cons_upd, r_use = _consumable_branch(s, rng, view, a)
     pos = jnp.clip(a - Action.SELECT_CARD_BASE, 0, N_HAND - 1)
     toggled = [_sel(pos == p, ~s["sel"][p], s["sel"][p]) for p in range(N_HAND)]
     buy_upd, r_buy = _shop_buy_branch(s, a)
@@ -1885,7 +1911,11 @@ def _step(s, a, rng, pow115, pow15):
     else:
         gen_key = None
     gen_ante = jnp.where(do_rr, s["ante"], adv_ante)
-    gen = _shop_gen(s, rng, gen_key, gen_ante, pow115)
+    if "shopgen" in _ABLATE:
+        gen = ([zero] * N_SHOP, [zero] * N_SHOP, [zero] * N_SHOP, zero,
+               jnp.ones((SUB, LANES), f32))
+    else:
+        gen = _shop_gen(s, rng, gen_key, gen_ante, pow115)
     mult = gen[4]
 
     adv_upd, _adv_over = _advance_branch(
@@ -1917,7 +1947,8 @@ def _step(s, a, rng, pow115, pow15):
     reward = jnp.where(do_play, jnp.where(boss_ok, r_play, -1.0), reward)
     # Blocked play (#A39): the reference highlights BEFORE the boss
     # can_play check and returns early — the highlight sticks anyway.
-    nxt = _msel(do_play & ~boss_ok, {"high": play_upd["high"]}, nxt)
+    if "play" not in _ABLATE:
+        nxt = _msel(do_play & ~boss_ok, {"high": play_upd["high"]}, nxt)
     term = do_play & boss_ok & fail
     nxt = _msel(do_disc, disc_upd, nxt)
     reward = jnp.where(do_disc, r_disc, reward)
@@ -1940,50 +1971,52 @@ def _step(s, a, rng, pow115, pow15):
 
     # ---- shared refill draw ----
     draw_do = play_cont | do_disc | do_bsel | do_end
-    nxt = {**nxt, **_draw_pass(nxt, draw_do)}
+    if "draw" not in _ABLATE:
+        nxt = {**nxt, **_draw_pass(nxt, draw_do)}
 
     # ---- boss on-hand-drawn for the refreshed hand (play continue) ----
     k_hook = k_wheel = None
     if rng.exact:
         k_hook, k_wheel = KR.split2(k_boss[0], k_boss[1])
-    present2 = [jnp.full((SUB, LANES), p, i32) < nxt["hn"] for p in range(N_HAND)]
-    dis_h = jnp.full((SUB, LANES), _SORT_FLIP, i32)
-    hkeys = []
-    for p in range(N_HAND):
-        b = (rng.bits(k_hook, p) if rng.exact else _bits_hw())
-        hkeys.append(jnp.where(present2[p], _sortable(b), dis_h))
-    picks = []
-    for _ in range(2):
-        best_k = dis_h
-        best_p = zero
+    if "ohd" not in _ABLATE:
+        present2 = [jnp.full((SUB, LANES), p, i32) < nxt["hn"] for p in range(N_HAND)]
+        dis_h = jnp.full((SUB, LANES), _SORT_FLIP, i32)
+        hkeys = []
         for p in range(N_HAND):
-            better = hkeys[p] > best_k
-            best_k = jnp.maximum(hkeys[p], best_k)
-            best_p = jnp.where(better, p, best_p)
-        picks.append(best_p)
-        hkeys = [jnp.where(best_p == p, dis_h, hkeys[p])
-                 for p in range(N_HAND)]
-    n_pres = zero
-    for p in range(N_HAND):
-        n_pres = n_pres + present2[p].astype(i32)
-    hook = [((picks[0] == p) | (picks[1] == p)) & present2[p] & (n_pres >= 2)
-            for p in range(N_HAND)]
-    face = []
-    for p in range(N_HAND):
-        wroll = (rng.uniform(k_wheel, p) if rng.exact else _u01_hw(_bits_hw()))
-        wheel = present2[p] & (wroll < 1.0 / 7.0)
-        house = present2[p] & nxt["bfirst"]
-        mark = present2[p] & (nxt["hrk"][p] >= 11) & (nxt["hrk"][p] <= 13)
-        fish = present2[p] & ~nxt["bfirst"]
-        f = _sel(nxt["bid"] == B.WHEEL, wheel,
-                 _sel(nxt["bid"] == B.HOUSE, house,
-                      _sel(nxt["bid"] == B.MARK, mark,
-                           _sel(nxt["bid"] == B.FISH, fish, false))))
-        face.append(f)
-    gate_fd = play_cont & nxt["bact"]
-    nxt["fd"] = [_sel(gate_fd, face[p], nxt["fd"][p]) for p in range(N_HAND)]
-    hook_upd = _remove_positions(nxt, hook)
-    nxt = _msel(gate_fd & (nxt["bid"] == B.HOOK), hook_upd, nxt)
+            b = (rng.bits(k_hook, p) if rng.exact else _bits_hw())
+            hkeys.append(jnp.where(present2[p], _sortable(b), dis_h))
+        picks = []
+        for _ in range(2):
+            best_k = dis_h
+            best_p = zero
+            for p in range(N_HAND):
+                better = hkeys[p] > best_k
+                best_k = jnp.maximum(hkeys[p], best_k)
+                best_p = jnp.where(better, p, best_p)
+            picks.append(best_p)
+            hkeys = [jnp.where(best_p == p, dis_h, hkeys[p])
+                     for p in range(N_HAND)]
+        n_pres = zero
+        for p in range(N_HAND):
+            n_pres = n_pres + present2[p].astype(i32)
+        hook = [((picks[0] == p) | (picks[1] == p)) & present2[p] & (n_pres >= 2)
+                for p in range(N_HAND)]
+        face = []
+        for p in range(N_HAND):
+            wroll = (rng.uniform(k_wheel, p) if rng.exact else _u01_hw(_bits_hw()))
+            wheel = present2[p] & (wroll < 1.0 / 7.0)
+            house = present2[p] & nxt["bfirst"]
+            mark = present2[p] & (nxt["hrk"][p] >= 11) & (nxt["hrk"][p] <= 13)
+            fish = present2[p] & ~nxt["bfirst"]
+            f = _sel(nxt["bid"] == B.WHEEL, wheel,
+                     _sel(nxt["bid"] == B.HOUSE, house,
+                          _sel(nxt["bid"] == B.MARK, mark,
+                               _sel(nxt["bid"] == B.FISH, fish, false))))
+            face.append(f)
+        gate_fd = play_cont & nxt["bact"]
+        nxt["fd"] = [_sel(gate_fd, face[p], nxt["fd"][p]) for p in range(N_HAND)]
+        hook_upd = _remove_positions(nxt, hook)
+        nxt = _msel(gate_fd & (nxt["bid"] == B.HOOK), hook_upd, nxt)
 
     # ---- invalid-action / terminated-before-step freezes ----
     nxt = _msel(legal, nxt, s)
@@ -1996,7 +2029,8 @@ def _step(s, a, rng, pow115, pow15):
     nxt["sc"] = s["sc"] + 1
 
     # ---- autoreset ----
-    nxt = _msel(done, _reset_updates(nxt, rng), nxt)
+    if "reset" not in _ABLATE:
+        nxt = _msel(done, _reset_updates(nxt, rng), nxt)
     return nxt, reward, done
 
 

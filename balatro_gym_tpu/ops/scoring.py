@@ -34,7 +34,10 @@ from balatro_gym_tpu.core.constants import BASE_HAND_CHIPS, BASE_HAND_MULT
 from balatro_gym_tpu.ops import joker_tables as JT
 from balatro_gym_tpu.ops.hand_eval import evaluate_sim, classify_env
 
-_F = jnp.float64  # canonicalises to f32 when x64 is disabled
+_I64 = jax.dtypes.canonicalize_dtype(jnp.int64)  # i64 under x64, i32 in production (no dtype warnings)
+
+# Resolved once at import (no per-call-site f64 UserWarnings under f32).
+_F = jax.dtypes.canonicalize_dtype(jnp.float64)
 
 # Sim-path enhancement x-mult: glass x2, steel x1.5 when SCORED
 # (balatro_sim.py:463-468).
@@ -166,7 +169,7 @@ def _joker_pass(t: JT.JokerTables, jokers, ranks, suits, smask, valid, ht,
     # breaks the exact-x-mult contract (core/pow_tables.py docstring).
     x = P.pow2(e2, _F) * P.pow3(e3, _F) * P.pow15(e15, _F)
 
-    return (chips_f.astype(jnp.int64), mult_f.astype(jnp.int64), x,
+    return (chips_f.astype(_I64), mult_f.astype(_I64), x,
             money_f.astype(jnp.int32))
 
 
@@ -193,9 +196,9 @@ def score_sim(ranks, suits, valid, enh, ed, seal, base_value, jokers,
     ht, smask = evaluate_sim(ranks, suits, valid, ff, sc)
     smask = smask & valid
 
-    chips = BASE_HAND_CHIPS[ht].astype(jnp.int64)
-    mult = BASE_HAND_MULT[ht].astype(jnp.int64)
-    chips += jnp.sum(jnp.where(smask, base_value, 0)).astype(jnp.int64)
+    chips = BASE_HAND_CHIPS[ht].astype(_I64)
+    mult = BASE_HAND_MULT[ht].astype(_I64)
+    chips += jnp.sum(jnp.where(smask, base_value, 0)).astype(_I64)
 
     # Card enhancements / editions / seals, sim semantics
     # (balatro_sim.py:455-488): applied BEFORE jokers. Gather-free: masked
@@ -206,9 +209,9 @@ def score_sim(ranks, suits, valid, enh, ed, seal, base_value, jokers,
     enh_hist = sm @ (enh[:, None] == jnp.arange(9)).astype(f32)
     ed_hist = sm @ (ed[:, None] == jnp.arange(5)).astype(f32)
     chips += (enh_hist @ C.ENH_CHIPS.astype(f32)
-              + ed_hist @ C.ED_CHIPS.astype(f32)).astype(jnp.int64)
+              + ed_hist @ C.ED_CHIPS.astype(f32)).astype(_I64)
     add = (enh_hist @ C.ENH_MULT.astype(f32)
-           + ed_hist @ C.ED_MULT.astype(f32)).astype(jnp.int64)
+           + ed_hist @ C.ED_MULT.astype(f32)).astype(_I64)
     n_glass = enh_hist[C.Enhancement.GLASS]
     n_15 = enh_hist[C.Enhancement.STEEL] + ed_hist[C.Edition.POLYCHROME]
     x = P.pow2(n_glass, _F) * P.pow15(n_15, _F)
@@ -241,7 +244,7 @@ def score_sim(ranks, suits, valid, enh, ed, seal, base_value, jokers,
 
     # final = int(chips * ((base_mult + add) * mult_mult)) (balatro_sim.py:543-544)
     final_mult = (mult + add).astype(_F) * x
-    score = jnp.trunc(chips.astype(_F) * final_mult).astype(jnp.int64)
+    score = jnp.trunc(chips.astype(_F) * final_mult).astype(_I64)
     return score, money, ht, smask
 
 
@@ -280,9 +283,15 @@ def score_env_unified(ranks, suits, valid, enh, ed, levels, jokers,
         ht = jnp.asarray(ht, jnp.int32)
     smask = valid  # every selected card scores
 
-    level = levels[ht].astype(jnp.int64)
-    chips = BASE_HAND_CHIPS[ht].astype(jnp.int64) + (level - 1) * 10
-    mult = BASE_HAND_MULT[ht].astype(jnp.int64) + (level - 1)
+    # Scoring reads the ScoreEngine's level, which apply_planet CLAMPS at 15
+    # (scoring_engine.py:84) — while the obs-visible state.hand_levels
+    # increments unclamped (balatro_env_2.py:1119). levels here carries the
+    # unclamped obs values; min(level, 15) is exactly the engine's view
+    # (both counters move together until the clamp). Live-verified by the
+    # differential harness at level 16 (PARITY #A41).
+    level = jnp.minimum(levels[ht], 15).astype(_I64)
+    chips = BASE_HAND_CHIPS[ht].astype(_I64) + (level - 1) * 10
+    mult = BASE_HAND_MULT[ht].astype(_I64) + (level - 1)
 
     # chip_value(): rank chips + enhancement chips + edition chips
     # (cards.py:262-267). The ONLY card-modifier contribution in this path.
@@ -293,9 +302,9 @@ def score_env_unified(ranks, suits, valid, enh, ed, levels, jokers,
     ed_hist = sm @ (ed[:, None] == jnp.arange(5)).astype(f32)
     chips += (rank_hist @ C.RANK_CHIPS.astype(f32)
               + enh_hist @ C.ENH_CHIPS.astype(f32)
-              + ed_hist @ C.ED_CHIPS.astype(f32)).astype(jnp.int64)
+              + ed_hist @ C.ED_CHIPS.astype(f32)).astype(_I64)
 
     # final = int(chips * mult * x_mult) with x_mult == 1
     # (unified_scoring.py:288-290).
-    score = jnp.trunc(chips.astype(_F) * mult.astype(_F)).astype(jnp.int64)
+    score = jnp.trunc(chips.astype(_F) * mult.astype(_F)).astype(_I64)
     return score, ht

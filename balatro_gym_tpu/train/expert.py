@@ -30,6 +30,8 @@ from balatro_gym_tpu.engine import full_env as fe
 from balatro_gym_tpu.engine import shop_logic as SL
 from balatro_gym_tpu.ops.scoring import score_env_unified
 
+_I64 = jax.dtypes.canonicalize_dtype(jnp.int64)  # i64 under x64, i32 in production (no dtype warnings)
+
 # All subsets of positions 0-7 with 1..5 elements -> [218, 8] bool.
 _masks = []
 for _r in range(1, 6):
@@ -51,7 +53,7 @@ def _score_subset(st: fe.FullEnvState, mask):
         st.hands_left, st.discards_left, jnp.int32(52),
         jax.random.key(0),
     )
-    return jnp.where(jnp.any(sel), score, jnp.int64(-1)), ht
+    return jnp.where(jnp.any(sel), score, jnp.asarray(-1, _I64)), ht
 
 
 def best_play(st: fe.FullEnvState):

@@ -74,11 +74,18 @@ def test_targeted_tarot_fails_without_selection(step):
 
 
 def test_seal_spectrals(step):
+    # Deja Vu's 'Red Seal' lands cross-enum (#A42): SpectralEffects writes
+    # consumables.py's Seal.RED = 1, which the play path reads as cards.py's
+    # Seal.GOLD — live-verified by the differential harness (+$3 on play).
     st = in_play(step, cons=[CL.DEJA_VU], selected=[0])
     st2, r, _ = step(st, jnp.int32(USE0))
     idx = np.asarray(st.hand_idx)
-    assert np.asarray(st2.card_seal)[idx[0]] == Seal.RED
+    assert np.asarray(st2.card_seal)[idx[0]] == Seal.GOLD
     assert float(r) == 2.0
+    # Talisman's 'Gold' (3) likewise lands as cards.py BLUE.
+    st = in_play(step, cons=[CL.TALISMAN], selected=[0])
+    st2, r, _ = step(st, jnp.int32(USE0))
+    assert np.asarray(st2.card_seal)[np.asarray(st.hand_idx)[0]] == Seal.BLUE
 
 
 def test_suit_conversion_is_noop_with_reward(step):

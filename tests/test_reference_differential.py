@@ -18,29 +18,48 @@ compared exactly:
 * purple-seal tarots   — 'seal_applications' choice history (:1020-1031) →
                          forced ``full_env._purple_tarot_ids``
 * boss selection       — ``state.active_boss_blind`` → forced
-                         ``ops.boss.select_boss``
+                         ``ops.boss.select_boss``; the REFERENCE's
+                         ``select_boss_blind`` is itself replaced by a
+                         deterministic cycle over all 28 boss types so the
+                         run PROVES per-boss coverage instead of sampling it
 * boss on_hand_drawn   — recorded from the live BossBlindManager (Wheel
                          face-downs, The Hook's sample, boss_blinds.py:343-378)
                          → forced ``ops.boss.on_hand_drawn``
-* shop inventory       — ``state.shop_inventory`` after every step → forced
+* shop inventory       — live ``Shop.inventory`` after every step → forced
                          ``engine.shop_logic.generate_inventory``
+* consumable draws     — Wheel of Fortune fire/edition, Aura edition, High
+                         Priestess / Judgement planets, Emperor tarots, The
+                         Fool's copy, Wraith / The Soul joker picks — parsed
+                         from the reference's result message + state diffs
+                         (consumables.py:114-613) → forced
+                         ``consumable_logic._consumable_rolls``
 
 Scoring needs no chance forcing: NO joker effect fires in the reference's
 env scoring path (PARITY #A38 — the isinstance(joker_name, str) guards in
 unified_scoring.py:164-221 fail on to_dict()'s dict entries), which this
 suite also verifies directly (test_env_scoring_ignores_jokers_live).
 
-Coverage: episodes plant jokers, enhanced/edition/sealed cards and
-consumables by identical surgery on both sides; random-walk policies are
-weighted toward play/discard/consumable/shop/blind actions. Consumables
-whose effects draw RNG (and the reference-crashing ones, PARITY #B1) are
-never USED by the policy, though purple seals may still mint them.
+Consumables NOT usable live, with reasons (everything else IS used live and
+its use asserted in the coverage floor):
 
-The JAX engine runs EAGERLY (monkeypatched seams don't exist under jit);
-~0.7 s/step on this host — the step budget below keeps the test ~3 min.
+* The Hanged Man, Familiar, Grim, Incantation, Sigil, Ouija, Cryptid — the
+  REFERENCE RAISES on use (frozen Card mutation / wrapper ``list.remove``,
+  consumables.py:243-249, 389-460, 497-516, 581-593); there is no live
+  behavior to compare. Our intended-semantics implementations are covered
+  by tests/test_consumables.py and flagged in PARITY.
+* Immolate — the reference's ``deck.remove`` silently re-keys every later
+  card index (``card_states`` corruption); we use stable slot identity by
+  design (PARITY §B4), so post-use states are intentionally different.
+
+Speed: the JAX step is JITTED with the forced chance outcomes passed as a
+traced pytree argument — the monkeypatched seams read the trace-time
+context ``TRACE`` set inside ``_step_forced``, so one compile serves every
+step (the round-3 harness ran the engine eagerly at ~0.7 s/step, capping
+coverage at ~220 steps; this one compares 2000+).
 """
 import random as pyrandom
 import sys
+from collections import defaultdict
 
 import numpy as np
 import pytest
@@ -52,11 +71,13 @@ sys.path.insert(0, "/root/reference")
 
 ref_env_mod = pytest.importorskip("balatro_gym.balatro_env_2")
 
+from balatro_gym.boss_blinds import BossBlindType  # noqa: E402
 from balatro_gym.jokers import JOKER_LIBRARY  # noqa: E402
 from balatro_gym.cards import CardState as RefCardState  # noqa: E402
 from balatro_gym.cards import Edition as RefEdition  # noqa: E402
 from balatro_gym.cards import Enhancement as RefEnhancement  # noqa: E402
 from balatro_gym.cards import Seal as RefSeal  # noqa: E402
+from balatro_gym.scoring_engine import HandType as RefHandType  # noqa: E402
 
 from balatro_gym_tpu.core import cards as C  # noqa: E402
 from balatro_gym_tpu.engine import consumable_logic as CL  # noqa: E402
@@ -82,16 +103,43 @@ TAROT_NAMES = ["The Fool", "The Magician", "The High Priestess", "The Empress",
 TAROT_ID = {n: i + 1 for i, n in enumerate(TAROT_NAMES)}
 PLANET_NAMES = ["Mercury", "Venus", "Earth", "Mars", "Jupiter", "Saturn",
                 "Uranus", "Neptune", "Pluto", "Planet X", "Ceres", "Eris"]
+SPECTRAL_NAMES = ["Familiar", "Grim", "Incantation", "Talisman", "Aura",
+                  "Wraith", "Sigil", "Ouija", "Ectoplasm", "Immolate", "Ankh",
+                  "Deja Vu", "Hex", "Trance", "Medium", "Cryptid", "The Soul",
+                  "Black Hole"]
 NAME_TO_ID = dict(TAROT_ID)
 NAME_TO_ID.update({n: 30 + i for i, n in enumerate(PLANET_NAMES)})
+NAME_TO_ID.update({n: 50 + i for i, n in enumerate(SPECTRAL_NAMES)})
+# Emperor creates tarots under their ENUM names ('THE_FOOL'), stored as
+# id+100 in our state (consumable_logic.ENUMNAME_OFFSET).
+ENUMNAME_TO_ID = {n.upper().replace(" ", "_"): i for n, i in TAROT_ID.items()}
 ID_TO_NAME = {v: k for k, v in NAME_TO_ID.items()}
+JOKER_NAME_TO_ID = {j.name: j.id for j in JOKER_LIBRARY}
+EDITION_BY_NAME = {"FOIL": int(C.Edition.FOIL),
+                   "HOLOGRAPHIC": int(C.Edition.HOLOGRAPHIC),
+                   "POLYCHROME": int(C.Edition.POLYCHROME)}
 
-# Consumables the policy may USE live: deterministic effects only (no RNG
-# draws in CL/_use_consumable) and no reference crashers (PARITY #B1).
-SAFE_USE_IDS = {CL.MAGICIAN, CL.EMPRESS, CL.HIEROPHANT, CL.LOVERS, CL.CHARIOT,
-                CL.STRENGTH, CL.HERMIT, CL.JUSTICE, CL.DEATH, CL.TEMPERANCE,
-                CL.DEVIL, CL.TOWER, CL.STAR, CL.MOON, CL.SUN, CL.WORLD} | \
-    set(range(CL.PLANET_BASE, CL.PLANET_BASE + CL.NUM_PLANET))
+
+def ref_cons_to_id(x) -> int:
+    """Reference consumable list entry (display name or enum-name string) →
+    our stored id (enum-name form = +100, observes as 0)."""
+    if x in NAME_TO_ID:
+        return NAME_TO_ID[x]
+    if x in ENUMNAME_TO_ID:
+        return CL.ENUMNAME_OFFSET + ENUMNAME_TO_ID[x]
+    raise KeyError(f"unknown reference consumable {x!r}")
+
+
+# The reference RAISES on these (or corrupts indices: Immolate, PARITY §B4)
+# — excluded from live USE; see module docstring.
+UNSAFE_USE_IDS = {CL.HANGED_MAN, CL.FAMILIAR, CL.GRIM, CL.INCANTATION,
+                  CL.SIGIL, CL.OUIJA, CL.CRYPTID, CL.IMMOLATE}
+SAFE_USE_IDS = (set(range(CL.TAROT_BASE, CL.TAROT_BASE + CL.NUM_TAROT))
+                | set(range(CL.PLANET_BASE, CL.PLANET_BASE + CL.NUM_PLANET))
+                | set(range(CL.SPECTRAL_BASE,
+                            CL.SPECTRAL_BASE + CL.NUM_SPECTRAL))) - UNSAFE_USE_IDS
+# Every safe id must be USED live at least once across the battery.
+COVERAGE_TARGET_IDS = frozenset(SAFE_USE_IDS)
 
 # Action-category weights (coverage-biased legal policy).
 WEIGHTS = np.ones(60)
@@ -104,68 +152,119 @@ WEIGHTS[30] = 4.0   # reroll
 WEIGHTS[31] = 1.5   # end shop
 WEIGHTS[32:37] = 2.0  # sell
 WEIGHTS[45:47] = 0.5
-WEIGHTS[47] = 3.0   # boss blind
+WEIGHTS[47] = 4.0   # boss blind (forced deterministic cycle → coverage)
 WEIGHTS[48] = 0.5   # skip
 
 FLOAT_KEYS = {"progress_ratio"}
 
 
 # ---------------------------------------------------------------------------
-# Forcing seams (module-level state read by the monkeypatched hooks)
+# Forced-chance seams: fakes read the trace-time context TRACE, which holds
+# TRACERS while ``_step_forced`` traces (so forced values become jit
+# ARGUMENTS — one compile, per-step values) and concrete arrays when the
+# engine is stepped eagerly.
 # ---------------------------------------------------------------------------
 
-class Forced:
-    def __init__(self):
-        self.clear()
-
-    def clear(self):
-        self.lucky_pos = []      # hand positions whose $20 roll succeeded
-        self.tarot_slots = {}    # consumable slot -> forced tarot id
-        self.boss_id = 1
-        self.face10 = np.zeros(10, bool)
-        self.hook10 = np.zeros(10, bool)
-        self.shop = None         # (types, items, costs, n)
+TRACE = {}
 
 
-F = Forced()
+def neutral_forced():
+    """A forced-chance pytree encoding 'no chance event fired'."""
+    return {
+        "play_rolls": np.ones((fe.SEL, 3), np.float64),
+        "tarot_ids": np.ones(fe.MAX_CONS, np.int32),
+        "boss_id": np.int32(1),
+        "face10": np.zeros(fe.MAX_HAND, bool),
+        "hook10": np.zeros(fe.MAX_HAND, bool),
+        "shop_types": np.zeros(SL.SHOP_SLOTS, np.int32),
+        "shop_items": np.zeros(SL.SHOP_SLOTS, np.int32),
+        "shop_costs": np.zeros(SL.SHOP_SLOTS, np.int32),
+        "shop_n": np.int32(0),
+        "cons": {
+            "aura_ed": np.int32(C.Edition.FOIL),
+            "wheel_fired": np.bool_(False),
+            "wheel_ed": np.int32(C.Edition.FOIL),
+            "planet9": np.full(2, CL.PLANET_BASE, np.int32),
+            "tarot22": np.full(2, CL.ENUMNAME_OFFSET + CL.TAROT_BASE,
+                               np.int32),
+            "fool_pick": np.int32(0),
+            "wraith_id": np.int32(0),
+            "soul_id": np.int32(146),
+            "rank3_pool": np.full(4, 11, np.int32),
+            "rank9_pool": np.full(4, 2, np.int32),
+            "suit_pool": np.zeros(4, np.int32),
+            "enh_pool": np.full(4, int(C.Enhancement.BONUS), np.int32),
+            "conv_suit": np.int32(0),
+            "conv_rank": np.int32(2),
+            "immo_bits": np.zeros(fe.MAX_DECK, np.uint32),
+        },
+    }
 
 
 def fake_play_rolls(k_eff):
     del k_eff
-    rolls = np.ones((fe.SEL, 3))
-    for p in F.lucky_pos:
-        rolls[p, 2] = 0.0
-    return jnp.asarray(rolls)
+    return jnp.asarray(TRACE["play_rolls"])
 
 
 def fake_tarot_ids(k_seal):
     del k_seal
-    ids = np.ones(fe.MAX_CONS, np.int32)
-    for slot, tid in F.tarot_slots.items():
-        if slot < fe.MAX_CONS:
-            ids[slot] = tid
-    return jnp.asarray(ids)
+    return jnp.asarray(TRACE["tarot_ids"])
 
 
 def fake_select_boss(key):
     del key
-    return jnp.int32(F.boss_id)
+    return jnp.asarray(TRACE["boss_id"], jnp.int32)
 
 
 def fake_on_hand_drawn(key, boss_id, first_hand, ranks, present):
     del key, boss_id, first_hand, ranks
     n = present.shape[0]
-    return jnp.asarray(F.face10[:n]), jnp.asarray(F.hook10[:n])
+    return (jnp.asarray(TRACE["face10"])[:n], jnp.asarray(TRACE["hook10"])[:n])
 
 
 def fake_generate_inventory(key, ante, owned_jokers, vouchers):
     del key, ante, owned_jokers, vouchers
-    if F.shop is None:
-        return (jnp.zeros(SL.SHOP_SLOTS, jnp.int32),
-                jnp.zeros(SL.SHOP_SLOTS, jnp.int32),
-                jnp.zeros(SL.SHOP_SLOTS, jnp.int32), jnp.int32(0))
-    t, i, c, n = F.shop
-    return (jnp.asarray(t), jnp.asarray(i), jnp.asarray(c), jnp.int32(n))
+    return (jnp.asarray(TRACE["shop_types"]), jnp.asarray(TRACE["shop_items"]),
+            jnp.asarray(TRACE["shop_costs"]),
+            jnp.asarray(TRACE["shop_n"], jnp.int32))
+
+
+def fake_consumable_rolls(key, st):
+    del key, st
+    return {k: jnp.asarray(v) for k, v in TRACE["cons"].items()}
+
+
+@jax.jit
+def _step_forced(st, a, forced):
+    # At trace time `forced` holds tracers; the patched seams read them from
+    # TRACE, making every chance outcome a jit argument.
+    TRACE.clear()
+    TRACE.update(forced)
+    return fe.step(st, a)
+
+
+_observe_j = jax.jit(fe.observe)
+_mask_j = jax.jit(fe.action_mask)
+
+
+# Deterministic cycle over ALL 28 boss types for the REFERENCE's selection —
+# coverage by construction, not by sampling (select_boss_blind is uniform
+# random, boss_blinds.py:522-532; the cycle preserves its contract: return a
+# BossBlindType for the current ante).
+BOSS_ORDER = list(BossBlindType)
+
+
+class _BossCycle:
+    def __init__(self):
+        self.i = 0
+
+    def __call__(self, ante):
+        b = BOSS_ORDER[self.i % len(BOSS_ORDER)]
+        self.i += 1
+        return b
+
+
+BOSS_CYCLE = _BossCycle()
 
 
 @pytest.fixture
@@ -175,8 +274,11 @@ def seams(monkeypatch):
     monkeypatch.setattr(BB, "select_boss", fake_select_boss)
     monkeypatch.setattr(BB, "on_hand_drawn", fake_on_hand_drawn)
     monkeypatch.setattr(SL, "generate_inventory", fake_generate_inventory)
-    F.clear()
-    yield F
+    monkeypatch.setattr(CL, "_consumable_rolls", fake_consumable_rolls)
+    monkeypatch.setattr(ref_env_mod, "select_boss_blind", BOSS_CYCLE)
+    TRACE.clear()
+    TRACE.update(neutral_forced())
+    yield
 
 
 # ---------------------------------------------------------------------------
@@ -185,7 +287,7 @@ def seams(monkeypatch):
 
 
 def make_ref_env(seed):
-    pyrandom.seed(10_000 + seed)  # boss choice / complete_joker_effects RNG
+    pyrandom.seed(10_000 + seed)  # consumable / joker-effect module RNG
     env = ref_env_mod.BalatroEnv(seed=seed)
     obs, _ = env.reset(seed=seed)
     return env, obs
@@ -223,7 +325,7 @@ def ref_shop_arrays(env):
             items[i] = SL.VOUCHER_NAMES.index(p["voucher"])
         elif "card" in p:
             items[i] = p["card"]
-    return types, items, costs, len(inv)
+    return types, items, costs, np.int32(len(inv))
 
 
 def parse_chance(env, hist_start, sel_order, card_states_pre, hand_pre):
@@ -253,6 +355,52 @@ def parse_chance(env, hist_start, sel_order, card_states_pre, hand_pre):
     return lucky_pos, [TAROT_ID[t] for t in tarots]
 
 
+def parse_consumable(env, info, used_name, pre_cons, pre_jokers, target_idx,
+                     forced):
+    """Force the outcome of one reference consumable use into ``forced``
+    (tests the RNG-drawing consumables the round-3 harness could never USE).
+
+    Parses the result message (balatro_env_2.py:1166 info['result'] carries
+    TarotEffects/SpectralEffects messages verbatim) plus the consumables-list
+    tail: post list = pre + in-effect appends, pop(used), + env re-appends —
+    all appends land at the end, so post[len(pre)-1:] is the appended run
+    (consumables.py:145-180, 290-341; balatro_env_2.py:1092,1156-1159).
+    """
+    msg = info.get("result", "") or ""
+    key = used_name.upper().replace(" ", "_")
+    c = forced["cons"]
+    tail = [ref_cons_to_id(x)
+            for x in env.state.consumables[max(0, len(pre_cons) - 1):]]
+    if key == "WHEEL_OF_FORTUNE":
+        if msg.startswith("Added"):
+            c["wheel_fired"] = np.bool_(True)
+            c["wheel_ed"] = np.int32(EDITION_BY_NAME[msg.split()[1]])
+    elif key == "AURA":
+        if msg.startswith("Added"):
+            c["aura_ed"] = np.int32(EDITION_BY_NAME[msg.split()[1]])
+    elif key == "THE_HIGH_PRIESTESS":
+        for i, tid in enumerate(tail[:2]):
+            c["planet9"][i] = tid
+    elif key == "JUDGEMENT":
+        if msg.startswith("Created "):
+            c["planet9"][0] = NAME_TO_ID[msg[len("Created "):]]
+    elif key == "THE_EMPEROR":
+        for i, tid in enumerate(tail[:2]):
+            c["tarot22"][i] = tid
+    elif key == "THE_FOOL":
+        if msg.startswith("Copied "):
+            c["fool_pick"] = np.int32(ref_cons_to_id(msg[len("Copied "):]))
+    elif key == "WRAITH":
+        if msg.startswith("Created "):
+            jname = msg[len("Created "):].split(",")[0]
+            c["wraith_id"] = np.int32(JOKER_NAME_TO_ID.get(jname, 0))
+    elif key == "THE_SOUL":
+        if msg.startswith("Created Legendary "):
+            jname = msg[len("Created Legendary "):]
+            c["soul_id"] = np.int32(JOKER_NAME_TO_ID[jname])
+    del pre_jokers, target_idx  # message parse suffices for every case
+
+
 # ---------------------------------------------------------------------------
 # State mirroring / surgery
 # ---------------------------------------------------------------------------
@@ -260,7 +408,8 @@ def parse_chance(env, hist_start, sel_order, card_states_pre, hand_pre):
 
 def mirror_state(env):
     """Fresh FullEnvState mirroring the reference env's post-reset (+surgery)
-    state: deck order, card modifiers, jokers, consumables, money."""
+    state: deck order, card modifiers, jokers, consumables, money, hand
+    levels, consumable slots."""
     st = fe.reset(jax.random.key(0))
     n = len(env.state.deck)
     rank = np.zeros(fe.MAX_DECK, np.int32)
@@ -283,7 +432,9 @@ def mirror_state(env):
         jok[i] = j.id
     cons = np.zeros(fe.MAX_CONS, np.int32)
     for i, name in enumerate(env.state.consumables[:fe.MAX_CONS]):
-        cons[i] = NAME_TO_ID.get(name, 0)
+        cons[i] = ref_cons_to_id(name)
+    levels = np.array([env.state.hand_levels.get(ht, 1) for ht in RefHandType],
+                      np.int32)
     assert n == 52
     return st.replace(
         card_rank=jnp.asarray(rank), card_suit=jnp.asarray(suit),
@@ -293,18 +444,32 @@ def mirror_state(env):
         joker_n=jnp.int32(len(env.state.jokers)),
         cons=jnp.asarray(cons),
         cons_n=jnp.int32(len(env.state.consumables)),
+        cons_slots=jnp.int32(env.state.consumable_slots),
         money=jnp.int32(env.state.money),
+        hand_levels=jnp.asarray(levels),
     )
 
 
 def surgery(env, rng, jokers, consumables, enh_rate=0.25, seal_rate=0.25,
-            ed_rate=0.10, money=80):
-    """Plant jokers / card modifiers / consumables / money in the REFERENCE
-    env (mirror_state copies them into the JAX state afterwards)."""
+            ed_rate=0.10, money=80, hand_level=0, cons_slots=None,
+            all_lucky=False):
+    """Plant jokers / card modifiers / consumables / money / hand levels in
+    the REFERENCE env (mirror_state copies them into the JAX state).
+
+    ``hand_level`` > 0 raises every hand type to that level in BOTH the env
+    state (obs) and the ScoreEngine (scoring) — high levels let the
+    random-walk policy actually beat blinds, so episodes progress through
+    many antes and exercise the full 28-boss cycle."""
     for jid in jokers:
         env.state.jokers.append(next(j for j in JOKER_LIBRARY if j.id == jid))
     env.state.consumables.extend(consumables)
     env.state.money = money
+    if cons_slots is not None:
+        env.state.consumable_slots = cons_slots
+    if hand_level:
+        for ht in RefHandType:
+            env.state.hand_levels[ht] = hand_level
+            env.engine.hand_levels[ht] = hand_level
     enh_pool = [RefEnhancement.BONUS, RefEnhancement.MULT, RefEnhancement.GLASS,
                 RefEnhancement.STEEL, RefEnhancement.GOLD, RefEnhancement.LUCKY,
                 RefEnhancement.STONE]
@@ -320,6 +485,13 @@ def surgery(env, rng, jokers, consumables, enh_rate=0.25, seal_rate=0.25,
                 cs.seal = seal_pool[rng.integers(len(seal_pool))]
             if rng.random() < ed_rate * 2:
                 cs.edition = ed_pool[rng.integers(len(ed_pool))]
+    if all_lucky:
+        # Every card LUCKY: the $20 money roll (1/15, cards.py:172) fires
+        # ~16x over a 220-step episode — a guaranteed live witness for the
+        # lucky-roll forcing seam (the 1/15 odds make it flaky otherwise).
+        for i in range(52):
+            cs = env.state.card_states.setdefault(i, RefCardState(i))
+            cs.enhancement = RefEnhancement.LUCKY
 
 
 # ---------------------------------------------------------------------------
@@ -328,8 +500,14 @@ def surgery(env, rng, jokers, consumables, enh_rate=0.25, seal_rate=0.25,
 
 
 def compare_obs(obs_r, obs_o, t, ctx, skip=()):
+    # Key-set EQUALITY: a dropped/renamed obs field fails loudly instead of
+    # being silently skipped (round-3 verdict weak-spot #5).
+    assert set(obs_r) == set(obs_o), (
+        f"step {t}: obs key sets differ {ctx}: "
+        f"ref-only={sorted(set(obs_r) - set(obs_o))} "
+        f"ours-only={sorted(set(obs_o) - set(obs_r))}")
     for k in obs_r:
-        if k not in obs_o or k in skip:
+        if k in skip:
             continue
         a = np.asarray(obs_r[k])
         b = np.asarray(obs_o[k])
@@ -343,75 +521,122 @@ def compare_obs(obs_r, obs_o, t, ctx, skip=()):
                 err_msg=f"step {t}: obs[{k}] {ctx}")
 
 
-def run_episode(seed, jokers, consumables, max_steps, counters):
+def pick_action(mask_r, st, rng, counters):
+    """Coverage-biased legal action. In the play phase with an un-covered
+    safe consumable available, deterministically steer: select 2 cards then
+    use the slot — guaranteeing every safe consumable gets USED live."""
+    cons_now = np.asarray(st.cons)
+    cons_n = int(np.asarray(st.cons_n))
+    in_play = bool(mask_r[0] or mask_r[2])
+    if in_play and cons_n > 0:
+        n_sel = int(np.asarray(st.selected).sum())
+        slots = [ci for ci in range(cons_n)
+                 if int(cons_now[ci]) in SAFE_USE_IDS and mask_r[10 + ci]]
+        fresh = [ci for ci in slots
+                 if f"use_{int(cons_now[ci])}" not in counters]
+        pref = fresh or slots
+        if pref and (fresh or rng.random() < 0.5):
+            if n_sel < 2:
+                sel = np.asarray(st.selected)
+                for p in range(8):
+                    if mask_r[2 + p] and not sel[p]:
+                        return 2 + p
+            return 10 + pref[0]
+    w = mask_r * WEIGHTS
+    for ci in range(5):
+        if w[10 + ci] > 0 and int(cons_now[ci]) not in SAFE_USE_IDS:
+            w[10 + ci] = 0.0
+    if w.sum() == 0:
+        return None
+    return int(rng.choice(60, p=w / w.sum()))
+
+
+def run_episode(seed, jokers, consumables, max_steps, counters,
+                hand_level=0, all_lucky=False, first_action=None):
     env, obs_r = make_ref_env(seed)
     rng = np.random.default_rng(seed * 13 + 5)
-    surgery(env, rng, jokers, consumables)
+    surgery(env, rng, jokers, consumables, hand_level=hand_level,
+            cons_slots=5, all_lucky=all_lucky)
     obs_r = env._get_observation()
     cap = {}
     record_on_hand_drawn(env, cap)
 
     st = mirror_state(env)
+    TRACE.clear()
+    TRACE.update(neutral_forced())
     compare_obs(obs_r, {k: np.asarray(v) for k, v in fe.observe(st).items()},
                 -1, "initial")
 
     for t in range(max_steps):
         mask_r = np.asarray(obs_r["action_mask"], bool)
-        mask_o = np.asarray(fe.action_mask(st), bool)
+        mask_o = np.asarray(_mask_j(st), bool)
         np.testing.assert_array_equal(mask_o, mask_r,
                                       err_msg=f"step {t}: action_mask")
 
-        # coverage-biased legal action, excluding unsafe consumable uses
-        w = mask_r * WEIGHTS
-        cons_now = np.asarray(st.cons)
-        for ci in range(5):
-            if w[10 + ci] > 0 and int(cons_now[ci]) not in SAFE_USE_IDS:
-                w[10 + ci] = 0.0
-        if w.sum() == 0:
+        # BLIND_SELECT happens once per episode (#A3) — forcing the first
+        # action selects WHICH blind deterministically (47 = boss, pulling
+        # the next boss type off the 28-boss cycle).
+        a = first_action if (t == 0 and first_action is not None) \
+            else pick_action(mask_r, st, rng, counters)
+        if a is None:
             break
-        a = int(rng.choice(60, p=w / w.sum()))
 
         # ---- reference step + chance extraction ----
+        used_name = None
         if 10 <= a < 15:
             # PARITY #B3: targeted consumables pick the first-K selected in
             # TOGGLE order; our vectorized state orders by hand position.
             # Sorting the reference's selection (obs-invisible — the obs is
             # a position mask) aligns the orders without losing coverage.
             env.state.selected_cards.sort()
+            if a - 10 < len(env.state.consumables):
+                used_name = env.state.consumables[a - 10]
         sel_order = list(env.state.selected_cards)
         hand_pre = list(env.state.hand_indexes)
         card_states_pre = dict(env.state.card_states)
+        pre_cons = list(env.state.consumables)
+        pre_jokers = [j.id for j in env.state.jokers]
         cons_n_pre = int(np.asarray(st.cons_n))
         hist_start = len(env.rng.history)
         cap.pop("eff", None)
         obs_r, r_r, term_r, trunc_r, info = env.step(a)
 
-        F.clear()
+        forced = neutral_forced()
         lucky_pos, tarot_ids = parse_chance(env, hist_start, sel_order,
                                             card_states_pre, hand_pre)
-        F.lucky_pos = lucky_pos
-        F.tarot_slots = {cons_n_pre + i: tid
-                         for i, tid in enumerate(tarot_ids)}
+        for p in lucky_pos:
+            forced["play_rolls"][p, 2] = 0.0
+        for i, tid in enumerate(tarot_ids):
+            if cons_n_pre + i < fe.MAX_CONS:
+                forced["tarot_ids"][cons_n_pre + i] = tid
         counters["lucky"] += len(lucky_pos)
         counters["purple_tarot"] += len(tarot_ids)
         if env.state.boss_blind_active and env.state.active_boss_blind:
-            F.boss_id = int(env.state.active_boss_blind)
+            forced["boss_id"] = np.int32(int(env.state.active_boss_blind))
             counters["boss_steps"] += 1
+            counters[f"boss_{int(env.state.active_boss_blind)}"] += 1
         eff = cap.get("eff")
         if eff:
             for i in eff.get("face_down_cards", []):
-                if i < 10:
-                    F.face10[i] = True
+                if i < fe.MAX_HAND:
+                    forced["face10"][i] = True
             for i in eff.get("discarded_cards", []):
-                if i < 10:
-                    F.hook10[i] = True
+                if i < fe.MAX_HAND:
+                    forced["hook10"][i] = True
             counters["ohd"] += 1
-        F.shop = ref_shop_arrays(env)
+        (forced["shop_types"], forced["shop_items"], forced["shop_costs"],
+         forced["shop_n"]) = ref_shop_arrays(env)
+        if used_name is not None:
+            tgt = sel_order[0] if sel_order else None
+            parse_consumable(env, info, used_name, pre_cons, pre_jokers, tgt,
+                             forced)
+            if "error" not in info:
+                counters[f"use_{ref_cons_to_id(used_name)}"] += 1
         counters[f"act_{a // 10}"] += 1
 
-        # ---- our step ----
-        st, r_o, done_o = fe.step(st, jnp.int32(a))
-        obs_o = {k: np.asarray(v) for k, v in fe.observe(st).items()}
+        # ---- our step (jitted; forced chance outcomes ride as arguments) --
+        st, r_o, done_o = _step_forced(st, jnp.int32(a), forced)
+        obs_o = {k: np.asarray(v) for k, v in _observe_j(st).items()}
 
         # On terminal steps our mask zeroes (action_mask & ~done) while the
         # reference's terminal obs still shows its phase mask — terminal obs
@@ -433,32 +658,78 @@ def run_episode(seed, jokers, consumables, max_steps, counters):
 # Tests
 # ---------------------------------------------------------------------------
 
+_T = TAROT_ID  # display name -> id, for roster brevity
+
+# Planted rosters: every SAFE consumable appears across the battery (the
+# scripted policy guarantees each gets USED); jokers rotate effect families.
 EPISODES = [
     # (seed, jokers, consumables)
-    (11, [1, 31, 48, 34], ["The Magician", "The Hermit"]),
+    (11, [1, 31, 48, 34],
+     ["The Magician", "The Hermit", "Wheel of Fortune", "The Fool",
+      "The High Priestess"]),
     (23, [JT.J_TRADING_CARD, JT.J_FACELESS, 113, 42],
-     ["Mercury", "The Devil"]),
+     ["Mercury", "The Devil", "The Emperor", "Judgement", "Aura"]),
     (37, [JT.J_FOUR_FINGERS, JT.J_SHORTCUT, JT.J_JOLLY],
-     ["The Tower", "Jupiter"]),
+     ["The Tower", "Jupiter", "Talisman", "The Soul", "Wraith"]),
     (51, [JT.J_MISPRINT, JT.J_BLOODSTONE, JT.J_SCARY_FACE],
-     ["The Chariot", "Temperance"]),
-    (64, [61, 72, 140], ["Justice", "The Empress"]),
+     ["The Chariot", "Temperance", "Deja Vu", "Trance", "Medium"]),
+    (64, [61, 72, 140], ["Justice", "The Empress", "Ankh", "Hex",
+                         "Ectoplasm"]),
+    (77, [2, 3, 116], ["Black Hole", "Venus", "Earth", "Mars", "Saturn"]),
+    (83, [6, 7, 131], ["Uranus", "Neptune", "Pluto", "Planet X", "Ceres"]),
+    (91, [16, 23, 108], ["Eris", "The Lovers", "The Hierophant", "Strength",
+                         "Death"]),
+    (102, [118, 119, 128], ["The Star", "The Moon", "The Sun", "The World",
+                            "The Hermit"]),
+    (115, [69, 70, 115], ["Wheel of Fortune", "Aura", "The Fool",
+                          "The High Priestess", "The Emperor"]),
+    (129, [33, 37, 44], ["Wraith", "The Soul", "Judgement", "Temperance",
+                         "Justice"]),
+    (137, [62, 63, 64], ["The Magician", "The Devil", "The Tower",
+                         "Black Hole", "Death"]),
 ]
 
 
 @pytest.mark.usefixtures("seams")
 def test_differential_replay_vs_live_reference():
-    """220+ mixed-phase steps across 5 planted episodes: every shared obs
-    field, mask, reward and done must match the live reference exactly."""
-    from collections import defaultdict
-
+    """2000+ mixed-phase steps across 12 planted episodes: every shared obs
+    field, mask, reward and done must match the live reference exactly.
+    Coverage floors: all 28 bosses encountered (deterministic cycle), every
+    safe consumable USED live, every phase exercised."""
     counters = defaultdict(int)
+    BOSS_CYCLE.i = 0
     for seed, jokers, consumables in EPISODES:
-        run_episode(seed, jokers, consumables, max_steps=48,
-                    counters=counters)
-    assert counters["steps"] >= 150, dict(counters)
-    # Coverage floors: chance-forcing machinery and phase breadth all hit.
-    assert counters["boss_steps"] > 0, dict(counters)
+        run_episode(seed, jokers, consumables, max_steps=220,
+                    counters=counters, hand_level=13, first_action=47)
+    # 13th episode: every card LUCKY — guaranteed lucky-$20 witnesses.
+    run_episode(7, [1, 31], ["The Hermit", "Temperance"], max_steps=160,
+                counters=counters, hand_level=13, all_lucky=True,
+                first_action=47)
+    # Boss-coverage sweep: one blind select per episode (#A3) means one
+    # boss per episode — short episodes walk the cycle through the
+    # remaining boss types (13 rich episodes consumed the first 13).
+    for i in range(len(BOSS_ORDER) - 13):
+        run_episode(200 + i, [1, 72], ["Mercury", "The Hermit"],
+                    max_steps=45, counters=counters, hand_level=13,
+                    first_action=47)
+    # Small/big/skip blind paths (the forced 47s above never take them).
+    for i, first in enumerate((45, 46, 48)):
+        run_episode(300 + i, [31, 48], ["Jupiter"], max_steps=30,
+                    counters=counters, hand_level=13, first_action=first)
+    assert counters["steps"] >= 2000, dict(counters)
+    # All 28 boss types encountered (not just 'some boss steps happened').
+    seen_bosses = {int(k[5:]) for k in counters
+                   if k.startswith("boss_") and k[5:].isdigit()}
+    assert seen_bosses == {int(b) for b in BossBlindType}, (
+        sorted(seen_bosses), dict(counters))
+    # Every safe consumable (incl. the RNG-drawing ones) USED live.
+    used = {int(k[4:]) for k in counters if k.startswith("use_")}
+    missing = COVERAGE_TARGET_IDS - used
+    assert not missing, (sorted(ID_TO_NAME.get(m, m) for m in missing),
+                         dict(counters))
+    # Chance-forcing machinery and phase breadth all hit.
+    assert counters["lucky"] > 0 and counters["purple_tarot"] > 0, \
+        dict(counters)
     assert counters["act_0"] > 0      # play-phase actions
     assert counters["act_2"] > 0 or counters["act_3"] > 0  # shop actions
     assert counters["act_4"] > 0      # blind actions
@@ -474,11 +745,13 @@ def test_env_scoring_ignores_jokers_live():
             surgery(env, np.random.default_rng(0), [1], [],
                     enh_rate=0, seal_rate=0, ed_rate=0, money=4)
         st = mirror_state(env)
+        TRACE.clear()
+        TRACE.update(neutral_forced())
         for a in (45, 2, 3):
             obs, r, *_ = env.step(a)
-            st, r_o, _ = fe.step(st, jnp.int32(a))
+            st, r_o, _ = _step_forced(st, jnp.int32(a), neutral_forced())
         obs, r, term, trunc, info = env.step(0)
-        st, r_o, _ = fe.step(st, jnp.int32(0))
+        st, r_o, _ = _step_forced(st, jnp.int32(0), neutral_forced())
         return info["final_score"], int(np.asarray(st.round_chips_scored))
 
     s_ref0, s_our0 = run(False)
