@@ -333,38 +333,54 @@ def policy_apply_fm(params, obs_fm, mask_fm, compute_dtype=None):
     """ActorCritic forward with activations [features, envs].
 
     Numerically equivalent to ``ActorCritic.apply(params, obs.T, mask.T)``
-    (same weights, transposed contraction — results match to f32 matmul
-    reduction-order tolerance, not bit-exactly; tests assert <=1e-5).
+    at the SAME ``compute_dtype`` (same weights, transposed contraction —
+    results match to matmul reduction-order tolerance, not bit-exactly;
+    tests assert <=1e-5 for f32). With ``compute_dtype=bfloat16`` the cast
+    structure mirrors flax ``Dense(dtype=bf16)`` exactly — bf16 bias add,
+    bf16 activations into tanh, heads cast to f32 after the bias — so the
+    learner's recomputed log-probs/values under ``PPOConfig.bf16_compute``
+    agree with the stored collection values up to matmul-order noise
+    (epoch-0 importance ratios ~1), not a structural precision mismatch.
 
     params: the flax param dict from ``ActorCritic.init``.
     obs_fm: [D, E] f32.  mask_fm: [A, E] bool.
     Returns (masked logits [A, E] f32, value [E] f32).
     """
     dense = params["params"]
+    assert all(n.startswith("Dense_") for n in dense), (
+        "policy_apply_fm mirrors ActorCritic's all-Dense stack; a non-Dense "
+        f"layer would mis-bind weights silently: {sorted(dense)}")
     names = sorted(dense, key=lambda n: int(n.split("_")[1]))
     hidden, logits_name, value_name = names[:-2], names[-2], names[-1]
-    x = obs_fm if compute_dtype is None else obs_fm.astype(compute_dtype)
+    # Head-binding guards: the inferred logits/value kernels must have the
+    # action-count / scalar out-dims, or a reordered module fails loudly.
+    assert dense[logits_name]["kernel"].shape[1] == mask_fm.shape[0], (
+        dense[logits_name]["kernel"].shape, mask_fm.shape)
+    assert dense[value_name]["kernel"].shape[1] == 1, (
+        dense[value_name]["kernel"].shape)
+    dt = compute_dtype
+
+    def dot(w, x):
+        # f32 MXU accumulation; under dt=bf16 the result is cast to bf16,
+        # matching flax Dense(dtype=bf16)'s bf16 output of the same product.
+        y = jax.lax.dot_general(w, x, (((0,), (0,)), ((), ())),
+                                preferred_element_type=f32)
+        return y.astype(dt) if dt is not None else y
+
+    x = obs_fm if dt is None else obs_fm.astype(dt)
     for name in hidden:
         w, b = dense[name]["kernel"], dense[name]["bias"]
-        if compute_dtype is not None:
-            w = w.astype(compute_dtype)
-        x = jnp.tanh(
-            jax.lax.dot_general(w, x, (((0,), (0,)), ((), ())),
-                                preferred_element_type=f32)
-            + b[:, None])
-        if compute_dtype is not None:
-            x = x.astype(compute_dtype)
+        if dt is not None:
+            w, b = w.astype(dt), b.astype(dt)
+        x = jnp.tanh(dot(w, x) + b[:, None])
     wl, bl = dense[logits_name]["kernel"], dense[logits_name]["bias"]
     wv, bv = dense[value_name]["kernel"], dense[value_name]["bias"]
-    if compute_dtype is not None:
-        wl, wv = wl.astype(compute_dtype), wv.astype(compute_dtype)
-    logits = (jax.lax.dot_general(wl, x, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=f32)
-              + bl[:, None]).astype(f32)
+    if dt is not None:
+        wl, bl = wl.astype(dt), bl.astype(dt)
+        wv, bv = wv.astype(dt), bv.astype(dt)
+    logits = (dot(wl, x) + bl[:, None]).astype(f32)
     logits = jnp.where(mask_fm, logits, -1e9)
-    value = (jax.lax.dot_general(wv, x, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=f32)
-             + bv[:, None])[0].astype(f32)
+    value = (dot(wv, x) + bv[:, None])[0].astype(f32)
     return logits, value
 
 

@@ -186,3 +186,77 @@ def rollout_fused_sharded(seed, n_envs: int, n_steps: int, jokers,
         in_specs=(P(DATA_AXIS), P(None, DATA_AXIS)),
         out_specs=out_spec, check_vma=False,
     ))(jok, acts)
+
+
+def rollout_full_sharded(seed, n_envs: int, n_steps: int,
+                         mesh: Mesh | None = None, actions=None,
+                         init_state=None, interpret: bool = False,
+                         _rollout_fn=None):
+    """Data-parallel FLAGSHIP fused rollout (ops/fused_full_rollout.py) over
+    the mesh's data axis — the full-env twin of :func:`rollout_fused_sharded`.
+
+    Each device runs the whole-rollout full-game Pallas kernel on its env
+    shard; per-env outputs stay sharded, so no collectives are needed. The
+    env→(tile, sublane, lane) layout is shard-local-contiguous: global env
+    ``e`` lives on shard ``e // (n_envs // n_dev)``, and within the shard the
+    kernel's own tiling applies — identical to slicing the single-device
+    layout, so FED-ACTIONS mode is bit-identical to the single-device kernel
+    (tests/test_full_sharded.py, the full-env twin of
+    tests/test_fused_rollout.py::test_sharded_matches_single).
+
+    In sampling mode shard seeds stride by ``axis_index * n_local_tiles``
+    (same aliasing-free scheme as rollout_fused_sharded).
+
+    Args mirror ``rollout_full_fused``; ``init_state`` is the GLOBAL batched
+    FullEnvState (defaults to ``vmap(full_env.reset)`` over
+    ``split(key(seed), n_envs)``) and is sharded over its env axis.
+    Returns the same dict as ``rollout_full_fused`` with [n_envs] leaves
+    sharded over the mesh.
+    """
+    import jax.numpy as jnp
+
+    from balatro_gym_tpu.ops.fused_full_rollout import (
+        TILE, _default_reset, _pow_tables_cached, rollout_full_fused)
+
+    if _rollout_fn is None:
+        _rollout_fn = rollout_full_fused
+    # else: test seam — a stand-in with rollout_full_fused's signature lets
+    # the wrapper's sharding/slicing/seed logic be proven bit-exactly on
+    # CPU meshes without compiling the giant kernel body (XLA:CPU needs
+    # ~an hour for the interpret-mode step body; tests/test_full_mesh.py).
+
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    assert n_envs % n_dev == 0
+    local = n_envs // n_dev
+    assert local % TILE == 0, \
+        f"{local} envs/shard not a multiple of the kernel tile {TILE}"
+    n_local_tiles = local // TILE
+    _pow_tables_cached()  # mint the pow tables on the host, outside any trace
+
+    use_actions = actions is not None
+    if use_actions:
+        acts = jnp.asarray(actions, jnp.int32)
+        if acts.ndim == 1:
+            acts = jnp.broadcast_to(acts[:, None], (n_steps, n_envs))
+    else:  # dummy; ignored by the kernel in sampling mode
+        acts = jnp.zeros((1, n_envs), jnp.int32)
+    if init_state is None:
+        init_state = _default_reset(seed, n_envs)
+
+    def shard_body(st_l, acts_l):
+        shard_seed = (jnp.asarray(seed, jnp.int32)
+                      + jax.lax.axis_index(DATA_AXIS) * n_local_tiles)
+        return _rollout_fn(
+            shard_seed, local, n_steps,
+            actions=acts_l if use_actions else None,
+            init_state=st_l, interpret=interpret)
+
+    state_specs = jax.tree.map(lambda _: P(DATA_AXIS), init_state)
+    out_specs = {"state": state_specs, "total_reward": P(DATA_AXIS),
+                 "episodes": P(DATA_AXIS)}
+    return jax.jit(jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(state_specs, P(None, DATA_AXIS)),
+        out_specs=out_specs, check_vma=False,
+    ))(init_state, acts)

@@ -67,6 +67,24 @@ def build_parser() -> argparse.ArgumentParser:
                    help="collect rollouts through the single-step fused "
                         "Pallas kernel (full env on TPU only; ~40x the jnp "
                         "collection path)")
+    p.add_argument("--structured-net", action="store_true",
+                   help="three-branch features extractor (the reference "
+                        "BalatroFeaturesExtractor's intent; full env only, "
+                        "incompatible with --fused-rollout)")
+    p.add_argument("--hidden", type=int, nargs="*", default=None,
+                   help="flat-MLP hidden widths (default 256 256)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 matmuls for the policy net (MXU-native; "
+                        "params stay f32)")
+    p.add_argument("--env-shuffle", action="store_true",
+                   help="minibatch mixing via env-axis permutation + "
+                        "timestep blocks (O(E) contiguous gather instead of "
+                        "the O(B) random-row gather; see PPOConfig)")
+    p.add_argument("--ent-final", type=float, default=-1.0,
+                   help="linear entropy-coefficient decay target over the "
+                        "run (<0 = constant)")
+    p.add_argument("--lr-final", type=float, default=-1.0,
+                   help="linear lr decay target over the run (<0 = constant)")
     return p
 
 
@@ -86,9 +104,16 @@ def main(argv=None) -> dict:
     hooks = sim_env_hooks() if args.env == "sim" else full_env_hooks()
     cfg = PPOConfig(n_envs=args.n_envs, rollout_len=args.rollout,
                     epochs=args.epochs, minibatches=args.minibatches,
-                    lr=args.lr, fused_rollout=args.fused_rollout)
+                    lr=args.lr, fused_rollout=args.fused_rollout,
+                    structured_net=args.structured_net,
+                    bf16_compute=args.bf16, env_shuffle=args.env_shuffle,
+                    total_updates=args.updates, ent_coef_final=args.ent_final,
+                    lr_final=args.lr_final,
+                    **({"hidden": tuple(args.hidden)} if args.hidden else {}))
     if args.fused_rollout and args.env != "full":
         raise SystemExit("--fused-rollout requires --env full")
+    if args.structured_net and args.env != "full":
+        raise SystemExit("--structured-net requires --env full")
 
     wandb_run = None
     if args.wandb:

@@ -54,6 +54,14 @@ def normalize(rs: RunningStats, x, clip: float = 10.0):
     return jnp.clip((x - rs.mean) / jnp.sqrt(rs.var + 1e-8), -clip, clip)
 
 
+def normalize_fm(rs: RunningStats, x_fm, clip: float = 10.0):
+    """Feature-major twin of :func:`normalize` for [D, E] activations
+    (fused collection path, train/ppo.py `_rollout_fused`): same constants,
+    same formula, stats broadcast over the env (lane) axis."""
+    return jnp.clip((x_fm - rs.mean[:, None]) / jnp.sqrt(rs.var[:, None] + 1e-8),
+                    -clip, clip)
+
+
 def normalize_reward(rs: RunningStats, r, clip: float = 10.0):
     """SB3 semantics: rewards are scaled by return std, not centered."""
     return jnp.clip(r / jnp.sqrt(rs.var + 1e-8), -clip, clip)

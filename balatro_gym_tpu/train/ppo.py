@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from balatro_gym_tpu.train.networks import ActorCritic
+from balatro_gym_tpu.train.networks import ActorCritic, StructuredActorCritic
 from balatro_gym_tpu.train.normalize import (
     RunningStats, init_stats, normalize, normalize_reward, update_stats)
 
@@ -57,6 +57,24 @@ class PPOConfig:
     ent_coef: float = 0.01
     vf_coef: float = 0.5
     max_grad_norm: float = 0.5
+    # Linear schedules over ``total_updates`` (0 = constant lr/ent_coef —
+    # the r03 behavior). The round-3 verdict flagged the ante plateau with
+    # "entropy still 1.23 after 3000 updates; no lr decay has been tried"
+    # (reference anchor: train_progressive.py's whole point is breaking
+    # plateaus): decaying ent_coef lets the policy commit, decaying lr
+    # stabilizes the late run.
+    total_updates: int = 0
+    ent_coef_final: float = -1.0   # <0 = no decay
+    lr_final: float = -1.0         # <0 = no decay
+    # TRAIN-TIME anti-livelock shaping: subtract this from the TRAINING
+    # reward when a lane repeats its previous action without scoring
+    # (reward <= 0). Deterministic argmax policies otherwise learn
+    # zero-reward select-toggle cycles that the r03 eval papered over with
+    # the eval-side greedy_antiloop mask (#B13); penalizing repeats during
+    # training removes the livelock at its source so plain greedy decode
+    # works. Metrics/raw rewards are unaffected (shaping-only, like
+    # train/progression.py).
+    repeat_penalty: float = 0.0
     hidden: tuple = (256, 256)
     # VecNormalize-equivalent running normalization (hpc_train.py:68-72).
     normalize_obs: bool = True
@@ -69,6 +87,23 @@ class PPOConfig:
     # Flagship full env only; requires a TPU (Mosaic). The learner update is
     # unchanged — only the env side of the rollout moves into the kernel.
     fused_rollout: bool = False
+    # Run the fused-collection pallas_call in interpret mode (plain XLA ops,
+    # no Mosaic) — lets fused_rollout run on CPU meshes (tests, dryruns)
+    # where the Mosaic backend is unavailable. Slow; testing only.
+    fused_interpret: bool = False
+    # Three-branch features extractor (the reference's
+    # BalatroFeaturesExtractor intent, train_balatro_agent.py:42-119 —
+    # see networks.StructuredActorCritic; its own version cannot run).
+    # Flagship-env obs layout only; incompatible with fused_rollout.
+    structured_net: bool = False
+    # Shuffle minibatches by permuting the ENV axis (contiguous [T,...]-row
+    # gather, ~1 ms) instead of a full flat-batch row permutation (random
+    # 820-byte rows — measured 12.7 ms/epoch at 524k samples on v5e);
+    # minibatches become contiguous timestep blocks of the env-shuffled
+    # batch. With thousands of i.i.d. env lanes per minibatch this is
+    # statistically equivalent mixing; learning-curve-verified
+    # (docs/PERF.md round-4 PPO section).
+    env_shuffle: bool = False
 
 
 @struct.dataclass
@@ -100,11 +135,29 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
     update_fn(TrainState) -> (TrainState, metrics dict)   [pure; jit/shard_map it]
     policy_fn(params, obs, mask) -> (logits, value)
     """
-    net = ActorCritic(n_actions=hooks.n_actions, hidden=tuple(cfg.hidden),
-                      compute_dtype=jnp.bfloat16 if cfg.bf16_compute else None)
+    if cfg.env_shuffle:
+        assert cfg.rollout_len % cfg.minibatches == 0, \
+            "env_shuffle slices minibatches as timestep blocks: " \
+            f"rollout_len={cfg.rollout_len} % minibatches={cfg.minibatches}"
+    dt = jnp.bfloat16 if cfg.bf16_compute else None
+    if cfg.structured_net:
+        assert not cfg.fused_rollout, \
+            "structured_net is incompatible with fused_rollout (the " \
+            "feature-major kernel path mirrors the plain Dense stack)"
+        net = StructuredActorCritic(n_actions=hooks.n_actions,
+                                    compute_dtype=dt)
+    else:
+        net = ActorCritic(n_actions=hooks.n_actions, hidden=tuple(cfg.hidden),
+                          compute_dtype=dt)
+    if cfg.lr_final >= 0.0 and cfg.total_updates > 0:
+        lr = optax.linear_schedule(
+            cfg.lr, cfg.lr_final,
+            cfg.total_updates * cfg.epochs * cfg.minibatches)
+    else:
+        lr = cfg.lr
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adam(cfg.lr, eps=1e-5),
+        optax.adam(lr, eps=1e-5),
     )
 
     def init_fn(key):
@@ -131,22 +184,34 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
             jax.nn.log_softmax(logits), action[:, None], axis=-1)[:, 0]
         return obs, mask, action, log_prob, value
 
+    def _shape(reward, action, prev_a):
+        """Anti-livelock repeat penalty (training reward only)."""
+        if not cfg.repeat_penalty:
+            return reward
+        rep = (action == prev_a) & (reward <= 0.0)
+        return reward - cfg.repeat_penalty * rep.astype(jnp.float32)
+
     def _rollout(params, env_states, key, obs_stats, ret_stats, ret_carry):
         def body(carry, k):
-            env_states, ret_carry = carry
+            env_states, ret_carry, prev_a = carry
             k_act, k_step = jax.random.split(k)
             obs, mask, action, log_prob, value = _policy_step(
                 params, env_states, k_act, obs_stats)
             env_states, reward, done = jax.vmap(hooks.step_autoreset)(env_states, action)
-            reward = reward.astype(jnp.float32)
+            raw = reward.astype(jnp.float32)
+            reward = _shape(raw, action, prev_a)
             ret_carry = ret_carry * cfg.gamma * (1.0 - done.astype(jnp.float32)) + reward
             train_reward = (normalize_reward(ret_stats, reward)
                             if cfg.normalize_reward else reward)
+            # i32 regardless of x64 (categorical yields i64 there).
+            prev_a = jnp.where(done, -1, action).astype(jnp.int32)
             t = Transition(obs, mask, action, log_prob, value, train_reward, done)
-            return (env_states, ret_carry), (t, reward, ret_carry)
+            return (env_states, ret_carry, prev_a), (t, raw, ret_carry)
 
-        (env_states, ret_carry), (traj, raw_rewards, rets) = jax.lax.scan(
-            body, (env_states, ret_carry), jax.random.split(key, cfg.rollout_len))
+        prev0 = jnp.full(ret_carry.shape, -1, jnp.int32)
+        (env_states, ret_carry, _), (traj, raw_rewards, rets) = jax.lax.scan(
+            body, (env_states, ret_carry, prev0),
+            jax.random.split(key, cfg.rollout_len))
         return env_states, traj, raw_rewards, rets, ret_carry
 
     def _rollout_fused(params, env_states, key, obs_stats, ret_stats,
@@ -159,39 +224,50 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
         """
         from balatro_gym_tpu.ops import fused_policy_rollout as FP
 
+        from balatro_gym_tpu.train.normalize import normalize_fm
+
         cards, ints, rng = FP.tile_packed(FP.pack_full_state(env_states))
         n_tiles = ints.shape[1]
-        obs_fm, mask_fm = FP.observe_tiles(cards, ints, rng)
+        obs_fm, mask_fm = FP.observe_tiles(cards, ints, rng,
+                                           interpret=cfg.fused_interpret)
         dt = jnp.bfloat16 if cfg.bf16_compute else None
 
         def body(carry, k):
-            cards, ints, rng, obs_fm, mask_fm, ret_carry = carry
+            cards, ints, rng, obs_fm, mask_fm, ret_carry, prev_a = carry
             obs2 = FP.flat_fm(obs_fm)
             if cfg.normalize_obs:
-                obs2 = jnp.clip(
-                    (obs2 - obs_stats.mean[:, None])
-                    / jnp.sqrt(obs_stats.var[:, None] + 1e-8), -10.0, 10.0)
+                obs2 = normalize_fm(obs_stats, obs2)
             mask2 = FP.flat_fm(mask_fm) != 0
             logits, value = FP.policy_apply_fm(params, obs2, mask2,
                                                compute_dtype=dt)
             action, log_prob = FP.sample_fm(k, logits)
             cards, ints, rng, rew, done, obs_fm, mask_fm = FP.step_tiles(
-                cards, ints, rng, FP.unflat_fm(action[None], n_tiles))
-            reward = FP.flat_fm(rew)[0]
+                cards, ints, rng, FP.unflat_fm(action[None], n_tiles),
+                interpret=cfg.fused_interpret)
+            raw = FP.flat_fm(rew)[0]
             done = FP.flat_fm(done)[0] != 0
+            reward = _shape(raw, action, prev_a)
+            prev_a = jnp.where(done, -1, action)
             ret_carry = (ret_carry * cfg.gamma * (1.0 - done.astype(jnp.float32))
                          + reward)
             train_reward = (normalize_reward(ret_stats, reward)
                             if cfg.normalize_reward else reward)
-            out = (obs2, mask2, action, log_prob, value, train_reward,
-                   reward, done, ret_carry)
-            return (cards, ints, rng, obs_fm, mask_fm, ret_carry), out
+            # bf16 learners cast obs to bf16 at the first matmul anyway —
+            # storing the trajectory obs in bf16 is numerically identical
+            # for them and halves the store/gather/read traffic of the
+            # biggest buffer in the update ([T, E, D] f32 = 396 MB at
+            # 8192x64).
+            obs_store = obs2.astype(dt) if dt is not None else obs2
+            out = (obs_store, mask2, action, log_prob, value, train_reward,
+                   raw, done, ret_carry)
+            return (cards, ints, rng, obs_fm, mask_fm, ret_carry, prev_a), out
 
+        prev0 = jnp.full(ret_carry.shape, -1, jnp.int32)
         carry, (obs_s, mask_s, act_s, lp_s, val_s, trew_s, rew_s, done_s,
                 rets_s) = jax.lax.scan(
-            body, (cards, ints, rng, obs_fm, mask_fm, ret_carry),
+            body, (cards, ints, rng, obs_fm, mask_fm, ret_carry, prev0),
             jax.random.split(key, cfg.rollout_len))
-        cards, ints, rng, _, _, ret_carry = carry
+        cards, ints, rng, _, _, ret_carry, _ = carry
         env_states = FP.unpack_full_state(FP.untile_packed(cards, ints, rng))
         traj = Transition(obs=obs_s.transpose(0, 2, 1),
                           mask=mask_s.transpose(0, 2, 1),
@@ -218,7 +294,7 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
             body, (jnp.zeros_like(last_value), last_value), traj, reverse=True)
         return adv, adv + traj.value
 
-    def _loss(params, batch):
+    def _loss(params, batch, ent_coef):
         t, adv, ret = batch
         logits, value = net.apply(params, t.obs, t.mask)
         log_all = jax.nn.log_softmax(logits)
@@ -232,7 +308,7 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
         v_loss = 0.5 * jnp.maximum((value - ret) ** 2, (v_clip - ret) ** 2).mean()
         probs = jnp.exp(log_all)
         ent = -jnp.sum(jnp.where(t.mask, probs * log_all, 0.0), axis=-1).mean()
-        total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
+        total = pg_loss + cfg.vf_coef * v_loss - ent_coef * ent
         return total, (pg_loss, v_loss, ent)
 
     grad_fn = jax.value_and_grad(_loss, has_aux=True)
@@ -257,9 +333,13 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
             ts.ret_carry)
 
         # VecNormalize-style stat refresh (pmean-merged across shards).
-        obs_stats = (update_stats(ts.obs_stats,
-                                  traj.obs.reshape(-1, hooks.obs_dim), axis_name)
-                     if cfg.normalize_obs else ts.obs_stats)
+        # traj.obs may be stored bf16 (fused+bf16 path) — accumulate stats
+        # in f32.
+        obs_stats = (update_stats(
+            ts.obs_stats,
+            traj.obs.reshape(-1, hooks.obs_dim).astype(jnp.float32),
+            axis_name)
+            if cfg.normalize_obs else ts.obs_stats)
         ret_stats = (update_stats(ts.ret_stats, rets.reshape(-1), axis_name)
                      if cfg.normalize_reward else ts.ret_stats)
 
@@ -270,25 +350,44 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
         _, last_value = net.apply(ts.params, last_obs, last_mask)
         adv, ret = _gae(traj, last_value)
 
-        B = cfg.rollout_len * traj.action.shape[1]  # local batch (shard-aware)
-        flat = jax.tree.map(lambda x: x.reshape((B,) + x.shape[2:]), (traj, adv, ret))
+        E_local = traj.action.shape[1]
+        B = cfg.rollout_len * E_local  # local batch (shard-aware)
+        flat = (None if cfg.env_shuffle else jax.tree.map(
+            lambda x: x.reshape((B,) + x.shape[2:]), (traj, adv, ret)))
+
+        if cfg.ent_coef_final >= 0.0 and cfg.total_updates > 0:
+            frac = jnp.clip(ts.update_idx.astype(jnp.float32)
+                            / cfg.total_updates, 0.0, 1.0)
+            ent_coef = cfg.ent_coef + (cfg.ent_coef_final - cfg.ent_coef) * frac
+        else:
+            ent_coef = jnp.float32(cfg.ent_coef)
+
+        def mini(carry, batch):
+            params, opt_state = carry
+            (loss, aux), grads = grad_fn(params, batch, ent_coef)
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, *aux)
 
         def epoch(carry, k):
             params, opt_state = carry
-            perm = jax.random.permutation(k, B)
-            shuf = jax.tree.map(lambda x: x[perm], flat)
-            mb = jax.tree.map(
-                lambda x: x.reshape((cfg.minibatches, -1) + x.shape[1:]), shuf)
-
-            def mini(carry, batch):
-                params, opt_state = carry
-                (loss, aux), grads = grad_fn(params, batch)
-                if axis_name is not None:
-                    grads = jax.lax.pmean(grads, axis_name)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), (loss, *aux)
-
+            if cfg.env_shuffle:
+                # Permute the env axis (contiguous [T]-column gather) and
+                # slice minibatches as contiguous timestep blocks — avoids
+                # the O(B) random-row gather (PPOConfig.env_shuffle).
+                perm = jax.random.permutation(k, E_local)
+                shuf = jax.tree.map(lambda x: x[:, perm], (traj, adv, ret))
+                mb = jax.tree.map(
+                    lambda x: x.reshape((cfg.minibatches, -1) + x.shape[2:]),
+                    shuf)
+            else:
+                perm = jax.random.permutation(k, B)
+                shuf = jax.tree.map(lambda x: x[perm], flat)
+                mb = jax.tree.map(
+                    lambda x: x.reshape((cfg.minibatches, -1) + x.shape[1:]),
+                    shuf)
             carry, metrics = jax.lax.scan(mini, (params, opt_state), mb)
             return carry, metrics
 

@@ -202,15 +202,29 @@ def throughput(t0, report, params):
     report["collect_steps_per_s"] = tput
     report["collect_compile_s"] = compile_s
 
-    # jnp policy-collection baseline (what PPO's env side did before),
-    # shorter scan — throughput normalizes.
-    fn = _jnp_policy_rollout(params, n_envs, 64)
-    jax.block_until_ready(fn(jax.random.key(6)))
-    tc = time.perf_counter()
-    tot, _ = fn(jax.random.key(7))
-    float(tot)
-    jnp_tput = n_envs * 64 / (time.perf_counter() - tc)
-    print(json.dumps({"jnp_policy_collect_steps_per_s": round(jnp_tput)}),
+    # jnp policy-collection baseline (what PPO's env side did before).
+    # SAME protocol as the fused number: warmed, best-of-3 samples with
+    # `reps` pipelined rollouts per sample and a true data-fetch sync —
+    # asymmetric methodology would bias the promoted speedup (ADVICE r3).
+    # Scan length 64 instead of 256 (the jnp path compiles ~4x the program;
+    # per-step throughput is scan-length-flat, verified by the fused path's
+    # own 64-vs-256 agreement) — noted here because the ratio divides
+    # numbers from different scan lengths.
+    jnp_steps = 64
+    fn = _jnp_policy_rollout(params, n_envs, jnp_steps)
+    tot, _ = fn(jax.random.key(6))
+    float(tot)  # compile + true sync
+    jnp_best = float("inf")
+    for i in range(3):
+        tc = time.perf_counter()
+        for r in range(reps):
+            tot, _ = fn(jax.random.key(20 + i * reps + r))
+        float(tot)  # data fetch = true sync on axon
+        jnp_best = min(jnp_best, time.perf_counter() - tc)
+    jnp_tput = reps * n_envs * jnp_steps / jnp_best
+    print(json.dumps({"jnp_policy_collect_steps_per_s": round(jnp_tput),
+                      "jnp_scan_len": jnp_steps,
+                      "protocol": "best-of-3 x reps, same as fused"}),
           flush=True)
     report["jnp_collect_steps_per_s"] = jnp_tput
     report["speedup"] = tput / jnp_tput

@@ -55,6 +55,31 @@ def test_sharded_update_collectives():
     assert np.isfinite(t1) and np.isfinite(t8) and t1 > 0 and t8 > 0
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs virtual mesh")
+def test_sharded_update_collectives_full_env():
+    """Full-env twin of test_sharded_update_collectives: the FLAGSHIP
+    Discrete(60) env's jnp-path DP update over the 8-device mesh must lower
+    to all-reduce-only collectives, execute, and return finite metrics —
+    the mesh certification the round-3 verdict flagged as covering only the
+    toy sim env."""
+    from balatro_gym_tpu.parallel.mesh import make_distributed_ppo, make_mesh
+    from balatro_gym_tpu.train.ppo import full_env_hooks
+
+    mesh = make_mesh(8)
+    cfg = PPOConfig(n_envs=16, rollout_len=2, epochs=1, minibatches=2,
+                    hidden=(16,))
+    init_fn, step_fn, _ = make_distributed_ppo(full_env_hooks(), cfg, mesh)
+    ts = init_fn(jax.random.key(0))
+    hlo = step_fn.lower(ts).compile().as_text()
+    assert hlo.count("all-reduce") > 0, "expected psum/pmean all-reduces"
+    for forbidden in ("all-gather", "all-to-all", "collective-permute"):
+        assert forbidden not in hlo, f"unexpected collective: {forbidden}"
+    ts, metrics = step_fn(ts)
+    assert int(ts.update_idx) == 1
+    vals = {k: float(v) for k, v in metrics.items()}
+    assert all(np.isfinite(v) for v in vals.values()), vals
+
+
 def make_ppo_distributed_cached(mesh, cfg):
     from balatro_gym_tpu.parallel.mesh import make_distributed_ppo
 

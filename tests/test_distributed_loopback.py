@@ -40,7 +40,15 @@ import jax.numpy as jnp
 assert len(jax.devices()) == 4, jax.devices()
 assert jax.local_device_count() == 2
 
-from balatro_gym_tpu.train.ppo import PPOConfig, sim_env_hooks
+from balatro_gym_tpu.train.ppo import PPOConfig, full_env_hooks, sim_env_hooks
+
+
+def digest(params):
+    h = hashlib.sha256()
+    for leaf in jax.tree.leaves(params):
+        h.update(np.asarray(jax.device_get(leaf)).tobytes())
+    return h.hexdigest()
+
 
 cfg = PPOConfig(n_envs=32, rollout_len=8, epochs=1, minibatches=2,
                 hidden=(16,))
@@ -48,14 +56,24 @@ ts, metrics = M.train_distributed(num_updates=2, cfg=cfg, seed=3,
                                   mesh=M.make_mesh(), hooks=sim_env_hooks())
 
 # Digest the replicated params from THIS process's addressable shards.
-leaves = jax.tree.leaves(ts.params)
-h = hashlib.sha256()
-for leaf in leaves:
-    h.update(np.asarray(jax.device_get(leaf)).tobytes())
 vals = {k: float(v) for k, v in metrics.items()}
 assert all(np.isfinite(v) for v in vals.values()), vals
-print(f"RESULT pid={pid} params={h.hexdigest()} "
+print(f"RESULT pid={pid} params={digest(ts.params)} "
       f"loss={vals['loss']:.9e} reward={vals['mean_reward']:.9e}", flush=True)
+
+# Same rendezvous, FLAGSHIP env: the full Discrete(60) game under the
+# cross-process mesh (round-3 verdict: every distributed artifact was
+# sim-only).
+cfg_full = PPOConfig(n_envs=8, rollout_len=2, epochs=1, minibatches=2,
+                     hidden=(16,))
+ts_f, metrics_f = M.train_distributed(num_updates=1, cfg=cfg_full, seed=5,
+                                      mesh=M.make_mesh(),
+                                      hooks=full_env_hooks())
+vals_f = {k: float(v) for k, v in metrics_f.items()}
+assert all(np.isfinite(v) for v in vals_f.values()), vals_f
+print(f"RESULTFULL pid={pid} params={digest(ts_f.params)} "
+      f"loss={vals_f['loss']:.9e} reward={vals_f['mean_reward']:.9e}",
+      flush=True)
 """
 
 
@@ -80,15 +98,16 @@ def test_two_process_distributed_ppo_loopback():
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=900)
+        out, _ = p.communicate(timeout=1500)
         outs.append(out)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"child failed:\n{out[-3000:]}"
-    results = {}
-    for out in outs:
-        line = [ln for ln in out.splitlines() if ln.startswith("RESULT")][0]
-        kv = dict(tok.split("=", 1) for tok in line.split()[1:])
-        results[kv["pid"]] = kv
-    assert results["0"]["params"] == results["1"]["params"], results
-    assert results["0"]["loss"] == results["1"]["loss"], results
-    assert results["0"]["reward"] == results["1"]["reward"], results
+    for tag in ("RESULT ", "RESULTFULL "):
+        results = {}
+        for out in outs:
+            line = [ln for ln in out.splitlines() if ln.startswith(tag)][0]
+            kv = dict(tok.split("=", 1) for tok in line.split()[1:])
+            results[kv["pid"]] = kv
+        assert results["0"]["params"] == results["1"]["params"], (tag, results)
+        assert results["0"]["loss"] == results["1"]["loss"], (tag, results)
+        assert results["0"]["reward"] == results["1"]["reward"], (tag, results)

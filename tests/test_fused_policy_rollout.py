@@ -74,6 +74,41 @@ def test_policy_apply_fm_matches_actor_critic():
     assert np.abs(np.asarray(v_ref) - np.asarray(v_fm)).max() <= 1e-4
 
 
+def test_policy_apply_fm_matches_actor_critic_bf16():
+    """bf16 structural mirror (ADVICE r3): with compute_dtype=bf16 the fm
+    path must agree with flax Dense(dtype=bf16) to bf16 matmul-order
+    tolerance — so PPOConfig(bf16_compute=True, fused_rollout=True) stores
+    collection log-probs/values the learner can recompute (epoch-0 ratios
+    ~1), not a structural precision mismatch."""
+    net = ActorCritic(n_actions=FP.N_ACTIONS, hidden=(64, 64),
+                      compute_dtype=jnp.bfloat16)
+    params = net.init(jax.random.key(1), jnp.zeros((1, FP.OBS_DIM)),
+                      jnp.ones((1, FP.N_ACTIONS), bool))
+    obs = jax.random.normal(jax.random.key(2), (512, FP.OBS_DIM), jnp.float32)
+    mask = jax.random.bernoulli(jax.random.key(3), 0.5, (512, FP.N_ACTIONS))
+    l_ref, v_ref = net.apply(params, obs, mask)
+    l_fm, v_fm = FP.policy_apply_fm(params, obs.T, mask.T,
+                                    compute_dtype=jnp.bfloat16)
+    legal = np.asarray(mask)
+    ld = np.abs(np.where(legal, np.asarray(l_ref) - np.asarray(l_fm).T, 0.0))
+    # bf16 has ~3 significant decimal digits; logits are O(1) post-init.
+    assert ld.max() <= 3e-2, ld.max()
+    assert (np.asarray(l_fm).T[~legal] == -1e9).all()
+    assert np.abs(np.asarray(v_ref) - np.asarray(v_fm)).max() <= 3e-2
+
+
+def test_policy_apply_fm_structure_guards():
+    """Mis-bound weights fail loudly (ADVICE r3): a mask whose action count
+    doesn't match the logits head trips the shape assertion."""
+    net = ActorCritic(n_actions=FP.N_ACTIONS, hidden=(32,))
+    params = net.init(jax.random.key(0), jnp.zeros((1, FP.OBS_DIM)),
+                      jnp.ones((1, FP.N_ACTIONS), bool))
+    obs = jnp.zeros((FP.OBS_DIM, 4))
+    bad_mask = jnp.ones((FP.N_ACTIONS - 1, 4), bool)
+    with pytest.raises(AssertionError):
+        FP.policy_apply_fm(params, obs, bad_mask)
+
+
 def test_sample_fm_legal_and_logprob_consistent(diversified_states):
     st = diversified_states
     cards, ints, rg = FP.tile_packed(FP.pack_full_state(st))
