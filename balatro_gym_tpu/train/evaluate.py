@@ -7,6 +7,7 @@ transcript option replays one episode host-side through the Gym shell.
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable
 
 import jax
@@ -42,61 +43,11 @@ def evaluate_policy(policy_fn: Callable, params: Any, hooks, n_episodes: int = 6
     action has been tried). EVAL-ONLY heuristic, not part of the parity
     contract (PARITY #B13); no effect when ``greedy=False``.
     """
-    from balatro_gym_tpu.train.normalize import normalize
-
-    B = n_episodes
-    states = jax.vmap(hooks.reset)(jax.random.split(jax.random.key(seed), B))
-
-    has_ante = hasattr(states, "ante")  # progression stat for the full env
-    # One episode per lane: stats freeze at each lane's first done, so the
-    # non-autoreset step (when the hooks expose one) is preferable — the
-    # post-step state then retains the TERMINAL ante, so an advance on the
-    # episode's final step is counted (done lanes freeze in fe.step and the
-    # policy's masked argmax on them is harmless).
-    step_fn = getattr(hooks, "step", None) or hooks.step_autoreset
-
-    n_actions = getattr(hooks, "n_actions", 0) or \
-        int(jax.eval_shape(hooks.action_mask,
-                           jax.eval_shape(hooks.reset, jax.random.key(0))).shape[-1])
-
-    def body(carry, k):
-        sts, ep_rew, ep_len, done_flag, max_ante, used = carry
-        obs = jax.vmap(hooks.observe)(sts)
-        if obs_stats is not None:
-            obs = normalize(obs_stats, obs)
-        mask = jax.vmap(hooks.action_mask)(sts)
-        logits, _ = policy_fn(params, obs, mask)
-        if greedy and greedy_antiloop:
-            # Suppress already-tried actions; if that would leave no legal
-            # action, fall back to the unsuppressed logits (cycle covered
-            # the whole legal set — let it restart).
-            blocked = used & mask
-            any_free = jnp.any(mask & ~blocked, axis=-1, keepdims=True)
-            logits = jnp.where(blocked & any_free, -jnp.inf, logits)
-            used = jnp.where(any_free, used, jnp.zeros_like(used))
-        action = jnp.where(greedy, jnp.argmax(logits, -1),
-                           jax.random.categorical(k, logits / temperature))
-        sts2, rew, done = jax.vmap(step_fn)(sts, action)
-        if greedy and greedy_antiloop:
-            used = used | (jnp.arange(n_actions)[None, :] == action[:, None])
-            used = jnp.where(((jnp.abs(rew) > 1e-6) | done)[:, None],
-                             False, used)
-        live = ~done_flag
-        ep_rew = ep_rew + jnp.where(live, rew, 0.0).astype(jnp.float32)
-        ep_len = ep_len + live.astype(jnp.int32)
-        if has_ante:  # track per-lane peak ante while the episode is live,
-            # including the post-step state (non-autoreset: terminal-step
-            # ante advances are observed too).
-            max_ante = jnp.maximum(max_ante, jnp.where(live, sts.ante, 0))
-            max_ante = jnp.maximum(max_ante, jnp.where(live, sts2.ante, 0))
-        done_flag = done_flag | done
-        return (sts2, ep_rew, ep_len, done_flag, max_ante, used), None
-
-    init = (states, jnp.zeros(B, jnp.float32), jnp.zeros(B, jnp.int32),
-            jnp.zeros(B, bool), jnp.zeros(B, jnp.int32),
-            jnp.zeros((B, n_actions), bool))
-    (states, ep_rew, ep_len, done_flag, max_ante, _), _ = jax.lax.scan(
-        body, init, jax.random.split(jax.random.key(seed + 1), max_steps))
+    stats_t = _compiled_eval(policy_fn, hooks, n_episodes, max_steps,
+                             greedy, greedy_antiloop, obs_stats is None)(
+        params, obs_stats, jnp.asarray(temperature, jnp.float32),
+        jnp.asarray(seed, jnp.int32))
+    ep_rew, ep_len, done_flag, max_ante, has_ante = stats_t
     stats = {
         "episodes": int(np.sum(np.asarray(done_flag))),
         "mean_reward": float(np.mean(np.asarray(ep_rew))),
@@ -107,6 +58,77 @@ def evaluate_policy(policy_fn: Callable, params: Any, hooks, n_episodes: int = 6
         stats["mean_ante"] = float(np.mean(np.asarray(max_ante)))
         stats["max_ante"] = int(np.max(np.asarray(max_ante)))
     return stats
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_eval(policy_fn, hooks, n_episodes, max_steps, greedy,
+                   greedy_antiloop, no_stats):
+    """One jitted eval program per structural config — seed and decode
+    temperature ride as traced arguments, so temperature sweeps and
+    re-seeded evals reuse a single compile (each used to pay a full
+    re-trace: ~minutes on the flagship env)."""
+    from balatro_gym_tpu.train.normalize import normalize
+
+    B = n_episodes
+    has_ante = hasattr(jax.eval_shape(hooks.reset, jax.random.key(0)), "ante")
+    step_fn = getattr(hooks, "step", None) or hooks.step_autoreset
+    n_actions = getattr(hooks, "n_actions", 0) or \
+        int(jax.eval_shape(hooks.action_mask,
+                           jax.eval_shape(hooks.reset, jax.random.key(0))).shape[-1])
+
+    def run(params, obs_stats, temperature, seed):
+        states = jax.vmap(hooks.reset)(
+            jax.random.split(jax.random.key(seed), B))
+
+        def body(carry, k):
+            sts, ep_rew, ep_len, done_flag, max_ante, used = carry
+            obs = jax.vmap(hooks.observe)(sts)
+            if not no_stats:
+                obs = normalize(obs_stats, obs)
+            mask = jax.vmap(hooks.action_mask)(sts)
+            logits, _ = policy_fn(params, obs, mask)
+            if greedy and greedy_antiloop:
+                # Suppress already-tried actions; if that would leave no
+                # legal action, fall back to the unsuppressed logits (cycle
+                # covered the whole legal set - let it restart).
+                blocked = used & mask
+                any_free = jnp.any(mask & ~blocked, axis=-1, keepdims=True)
+                logits = jnp.where(blocked & any_free, -jnp.inf, logits)
+                used = jnp.where(any_free, used, jnp.zeros_like(used))
+            if greedy:
+                action = jnp.argmax(logits, -1)
+            else:
+                action = jax.random.categorical(k, logits / temperature)
+            sts2, rew, done = jax.vmap(step_fn)(sts, action)
+            if greedy and greedy_antiloop:
+                used = used | (jnp.arange(n_actions)[None, :] == action[:, None])
+                used = jnp.where(((jnp.abs(rew) > 1e-6) | done)[:, None],
+                                 False, used)
+            live = ~done_flag
+            ep_rew = ep_rew + jnp.where(live, rew, 0.0).astype(jnp.float32)
+            ep_len = ep_len + live.astype(jnp.int32)
+            if has_ante:  # track per-lane peak ante while the episode is
+                # live, incl. the post-step state (non-autoreset: terminal-
+                # step ante advances are observed too).
+                max_ante = jnp.maximum(max_ante, jnp.where(live, sts.ante, 0))
+                max_ante = jnp.maximum(max_ante, jnp.where(live, sts2.ante, 0))
+            done_flag = done_flag | done
+            return (sts2, ep_rew, ep_len, done_flag, max_ante, used), None
+
+        init = (states, jnp.zeros(B, jnp.float32), jnp.zeros(B, jnp.int32),
+                jnp.zeros(B, bool), jnp.zeros(B, jnp.int32),
+                jnp.zeros((B, n_actions), bool))
+        (_, ep_rew, ep_len, done_flag, max_ante, _), _ = jax.lax.scan(
+            body, init, jax.random.split(jax.random.key(seed + 1), max_steps))
+        return ep_rew, ep_len, done_flag, max_ante
+
+    jitted = jax.jit(run)
+
+    def call(params, obs_stats, temperature, seed):
+        out = jitted(params, obs_stats, temperature, seed)
+        return (*out, has_ante)
+
+    return call
 
 
 def transcript_episode(env, select_action, max_steps: int = 200) -> list[str]:
