@@ -1845,10 +1845,18 @@ def _reset_updates(s, rng):
 # PROFILING-ONLY ablation switches (scripts/ablate_fused_full.py): comma
 # list in $FF_ABLATE stubs whole stages of the step body at TRACE TIME to
 # attribute kernel wall time. Read once at import; any non-empty value
-# BREAKS env semantics — never set outside the ablation probe.
+# BREAKS env semantics — never set outside the ablation probe. To guard
+# against a stray/inherited FF_ABLATE silently corrupting a training or
+# benchmark process, it is honored ONLY when the ablation driver also sets
+# FF_ABLATE_OK=1 (scripts/ablate_fused_full.py does); otherwise we raise.
 import os as _os  # noqa: E402
 
 _ABLATE = frozenset(x for x in _os.environ.get("FF_ABLATE", "").split(",") if x)
+if _ABLATE and _os.environ.get("FF_ABLATE_OK") != "1":
+    raise RuntimeError(
+        "FF_ABLATE is set but FF_ABLATE_OK!=1 — FF_ABLATE stubs whole stages "
+        "of the fused full-env kernel and corrupts rollout semantics. It is "
+        "profiling-only; unset it (or run via scripts/ablate_fused_full.py).")
 
 
 def _step(s, a, rng, pow115, pow15):

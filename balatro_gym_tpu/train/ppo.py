@@ -98,11 +98,13 @@ class PPOConfig:
     structured_net: bool = False
     # Shuffle minibatches by permuting the ENV axis (contiguous [T,...]-row
     # gather, ~1 ms) instead of a full flat-batch row permutation (random
-    # 820-byte rows — measured 12.7 ms/epoch at 524k samples on v5e);
-    # minibatches become contiguous timestep blocks of the env-shuffled
-    # batch. With thousands of i.i.d. env lanes per minibatch this is
-    # statistically equivalent mixing; learning-curve-verified
-    # (docs/PERF.md round-4 PPO section).
+    # 820-byte rows — measured 12.7 ms/epoch at 524k samples on v5e).
+    # Minibatches are sliced along the PERMUTED env axis (each minibatch =
+    # all timesteps x a random env subset), so composition varies per
+    # epoch/update and each minibatch spans the whole rollout horizon.
+    # With thousands of i.i.d. env lanes per minibatch this is
+    # statistically equivalent mixing to the flat permutation;
+    # learning-curve-verified (docs/PERF.md round-4 PPO section).
     env_shuffle: bool = False
 
 
@@ -136,9 +138,9 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
     policy_fn(params, obs, mask) -> (logits, value)
     """
     if cfg.env_shuffle:
-        assert cfg.rollout_len % cfg.minibatches == 0, \
-            "env_shuffle slices minibatches as timestep blocks: " \
-            f"rollout_len={cfg.rollout_len} % minibatches={cfg.minibatches}"
+        assert cfg.n_envs % cfg.minibatches == 0, \
+            "env_shuffle slices minibatches along the env axis: " \
+            f"n_envs={cfg.n_envs} % minibatches={cfg.minibatches}"
     dt = jnp.bfloat16 if cfg.bf16_compute else None
     if cfg.structured_net:
         assert not cfg.fused_rollout, \
@@ -375,12 +377,21 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
             params, opt_state = carry
             if cfg.env_shuffle:
                 # Permute the env axis (contiguous [T]-column gather) and
-                # slice minibatches as contiguous timestep blocks — avoids
-                # the O(B) random-row gather (PPOConfig.env_shuffle).
+                # slice minibatches along the PERMUTED env axis — minibatch
+                # m = all T timesteps x the m-th random env subset, so the
+                # partition varies with perm (the pre-r05 timestep-block
+                # slicing was invariant to perm — the permutation was dead
+                # compute and the partition identical every epoch/update).
+                # Avoids the O(B) random-row gather (PPOConfig.env_shuffle).
+                assert E_local % cfg.minibatches == 0, \
+                    f"env_shuffle: local envs {E_local} % {cfg.minibatches}"
                 perm = jax.random.permutation(k, E_local)
                 shuf = jax.tree.map(lambda x: x[:, perm], (traj, adv, ret))
                 mb = jax.tree.map(
-                    lambda x: x.reshape((cfg.minibatches, -1) + x.shape[2:]),
+                    lambda x: x.reshape(
+                        (x.shape[0], cfg.minibatches, -1) + x.shape[2:])
+                    .swapaxes(0, 1)
+                    .reshape((cfg.minibatches, -1) + x.shape[2:]),
                     shuf)
             else:
                 perm = jax.random.permutation(k, B)

@@ -49,6 +49,7 @@ print(json.dumps({"ablate": __import__("os").environ.get("FF_ABLATE", ""),
 def run_one(ablate: str):
     env = dict(os.environ)
     env["FF_ABLATE"] = ablate
+    env["FF_ABLATE_OK"] = "1"  # explicit opt-in (fused_full_rollout guard)
     env.pop("JAX_PLATFORMS", None)
     res = subprocess.run([sys.executable, "-c", CHILD % REPO],
                          capture_output=True, text=True, timeout=1200,

@@ -32,6 +32,43 @@ def test_update_changes_params_and_is_deterministic():
     assert max(jax.tree.leaves(diff)) > 0
 
 
+def test_env_shuffle_minibatch_composition_varies():
+    """ADVICE r04 (medium): the env-axis permutation must actually vary
+    which (t, env) samples land in each minibatch. Mirrors the epoch-body
+    slicing in ppo.update_fn: permute the env axis, slice along it, fold T
+    into the batch — every minibatch spans all T timesteps and different
+    permutations give different env subsets."""
+    T, E, M = 4, 8, 4
+    ids = jnp.arange(T * E).reshape(T, E)  # sample id = t*E + e
+
+    def partition(key):
+        perm = jax.random.permutation(key, E)
+        x = ids[:, perm]
+        mb = (x.reshape((x.shape[0], M, -1) + x.shape[2:])
+              .swapaxes(0, 1).reshape((M, -1) + x.shape[2:]))
+        return [frozenset(np.asarray(row).tolist()) for row in mb]
+
+    p1 = partition(jax.random.key(1))
+    p2 = partition(jax.random.key(2))
+    # Each minibatch spans every timestep.
+    for row in p1:
+        ts = {s // E for s in row}
+        assert ts == set(range(T))
+    # Different permutations give different partitions (not dead compute).
+    assert set(p1) != set(p2)
+    # It is a partition: disjoint cover of all samples.
+    assert frozenset().union(*p1) == frozenset(range(T * E))
+    assert sum(len(r) for r in p1) == T * E
+
+
+def test_env_shuffle_update_runs():
+    cfg = PPOConfig(n_envs=16, rollout_len=4, epochs=2, minibatches=4,
+                    hidden=(32,), env_shuffle=True)
+    ts, metrics = train(num_updates=2, cfg=cfg)
+    assert int(ts.update_idx) == 2
+    assert np.isfinite(float(metrics["loss"]))
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_distributed_update_keeps_params_replicated():
     mesh = make_mesh(8)
