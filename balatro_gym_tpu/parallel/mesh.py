@@ -94,7 +94,7 @@ def make_distributed_ppo(hooks: EnvHooks, cfg: PPOConfig, mesh: Mesh,
         return jax.jit(init_fn, out_shardings=shardings)(key)
     metric_specs = {k: P() for k in
                     ("loss", "pg_loss", "vf_loss", "entropy", "mean_reward",
-                     "episodes")}
+                     "episodes", "approx_kl", "kl_skipped")}
 
     step = jax.jit(
         jax.shard_map(

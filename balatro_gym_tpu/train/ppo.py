@@ -66,6 +66,17 @@ class PPOConfig:
     total_updates: int = 0
     ent_coef_final: float = -1.0   # <0 = no decay
     lr_final: float = -1.0         # <0 = no decay
+    # KL trust region (SB3 ``target_kl`` semantics,
+    # stable_baselines3 PPO.train: if approx_kl > 1.5*target_kl, stop this
+    # update's remaining minibatch steps BEFORE applying the offending one).
+    # The round-4 8k-update run collapsed after ~update 3000 (entropy
+    # climbed back to 2.0, training reward fell — docs/ROUND4.md §6): a few
+    # outsized late-run policy steps destroy the policy faster than the
+    # clipped objective can bound. Early-stopping on the Schulman
+    # approx-KL estimate mean((ratio-1) - log ratio) caps per-update
+    # divergence at its source. 0 = disabled. The threshold compared
+    # against is ``kl_target`` itself (set 1.5x your target to mirror SB3).
+    kl_target: float = 0.0
     # TRAIN-TIME anti-livelock shaping: subtract this from the TRAINING
     # reward when a lane repeats its previous action without scoring
     # (reward <= 0). Deterministic argmax policies otherwise learn
@@ -311,7 +322,11 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
         probs = jnp.exp(log_all)
         ent = -jnp.sum(jnp.where(t.mask, probs * log_all, 0.0), axis=-1).mean()
         total = pg_loss + cfg.vf_coef * v_loss - ent_coef * ent
-        return total, (pg_loss, v_loss, ent)
+        # Schulman's unbiased approx-KL estimate E[(r-1) - log r] (the SB3
+        # target_kl statistic); stop_gradient — diagnostics/gating only.
+        approx_kl = jax.lax.stop_gradient(
+            ((ratio - 1.0) - (log_prob - t.log_prob)).mean())
+        return total, (pg_loss, v_loss, ent, approx_kl)
 
     grad_fn = jax.value_and_grad(_loss, has_aux=True)
 
@@ -365,16 +380,34 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
             ent_coef = jnp.float32(cfg.ent_coef)
 
         def mini(carry, batch):
-            params, opt_state = carry
+            params, opt_state, stop = carry
             (loss, aux), grads = grad_fn(params, batch, ent_coef)
+            approx_kl = aux[-1]
             if axis_name is not None:
                 grads = jax.lax.pmean(grads, axis_name)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), (loss, *aux)
+                # All shards must take the same stop decision — gate on the
+                # pmean'd KL so params stay bit-identical across shards.
+                approx_kl = jax.lax.pmean(approx_kl, axis_name)
+            if cfg.kl_target > 0.0:
+                # SB3 semantics: the minibatch whose KL exceeds the target is
+                # NOT applied, nor is anything after it this update.
+                stop = stop | (approx_kl > cfg.kl_target)
+
+                def _apply(_):
+                    upd, new_opt = tx.update(grads, opt_state, params)
+                    return optax.apply_updates(params, upd), new_opt
+
+                params, opt_state = jax.lax.cond(
+                    stop, lambda _: (params, opt_state), _apply, None)
+            else:
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+            skipped = stop.astype(jnp.float32) if cfg.kl_target > 0.0 \
+                else jnp.float32(0.0)
+            return (params, opt_state, stop), (loss, *aux, skipped)
 
         def epoch(carry, k):
-            params, opt_state = carry
+            params, opt_state, stop = carry
             if cfg.env_shuffle:
                 # Permute the env axis (contiguous [T]-column gather) and
                 # slice minibatches along the PERMUTED env axis — minibatch
@@ -399,19 +432,20 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
                 mb = jax.tree.map(
                     lambda x: x.reshape((cfg.minibatches, -1) + x.shape[1:]),
                     shuf)
-            carry, metrics = jax.lax.scan(mini, (params, opt_state), mb)
+            carry, metrics = jax.lax.scan(mini, (params, opt_state, stop), mb)
             return carry, metrics
 
-        (params, opt_state), metrics = jax.lax.scan(
-            epoch, (ts.params, ts.opt_state),
+        (params, opt_state, _), metrics = jax.lax.scan(
+            epoch, (ts.params, ts.opt_state, jnp.bool_(False)),
             jax.random.split(k_perm, cfg.epochs))
 
-        loss, pg, vf, ent = (m.mean() for m in metrics)
+        loss, pg, vf, ent, approx_kl, kl_skipped = (m.mean() for m in metrics)
         mean_rew = raw_rewards.mean()
         episodes = traj.done.sum()
         if axis_name is not None:
-            loss, pg, vf, ent, mean_rew = (
-                jax.lax.pmean(x, axis_name) for x in (loss, pg, vf, ent, mean_rew))
+            loss, pg, vf, ent, mean_rew, approx_kl, kl_skipped = (
+                jax.lax.pmean(x, axis_name)
+                for x in (loss, pg, vf, ent, mean_rew, approx_kl, kl_skipped))
             episodes = jax.lax.psum(episodes, axis_name)
         out = ts.replace(params=params, opt_state=opt_state,
                          env_states=env_states, key=key,
@@ -420,7 +454,8 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
                          ret_carry=ret_carry)
         return out, {"loss": loss, "pg_loss": pg, "vf_loss": vf,
                      "entropy": ent, "mean_reward": mean_rew,
-                     "episodes": episodes}
+                     "episodes": episodes, "approx_kl": approx_kl,
+                     "kl_skipped": kl_skipped}
 
     def policy_fn(params, obs, mask):
         return net.apply(params, obs, mask)

@@ -72,7 +72,10 @@ def test_env_shuffle_update_runs():
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_distributed_update_keeps_params_replicated():
     mesh = make_mesh(8)
-    cfg = PPOConfig(n_envs=32, rollout_len=2, epochs=1, minibatches=2, hidden=(16,))
+    # env_shuffle + kl_target on: the KL stop decision is pmean-gated, so
+    # every shard must take identical steps and params stay replicated.
+    cfg = PPOConfig(n_envs=32, rollout_len=2, epochs=2, minibatches=2,
+                    hidden=(16,), env_shuffle=True, kl_target=1e-4)
     init_fn, step_fn, _ = make_distributed_ppo(sim_env_hooks(), cfg, mesh)
     ts = init_fn(jax.random.key(0))
     # Env batch is sharded over dp; params replicated.
