@@ -12,7 +12,7 @@ Reference: balatro_gym/balatro_env_v2.py:60-400. ``Discrete(70)``:
   (v2:314-316), so non-pack items are bought through the pack verb — the
   shop charges, pops, appends one random card to the purchased deck, and the
   env layer then adds the joker if the item was one (v2:170-183, unbounded
-  past 5 slots up to our physical cap of 8); slot 8's id collides with
+  past 5 slots up to our physical cap of 16, #A43/#B15); slot 8's id collides with
   ``BUY_JOKER_BASE`` and decodes as a joker-verb buy of slot... the verb's
   own index. Vouchers bought via the pack verb never reach the voucher list.
 
@@ -22,10 +22,13 @@ is 4 hands; exhausting them advances the ante, pays ``min(ante+2,10)+ante``
 (:295-300 with the post-increment ante) and opens a shop. Episode terminates
 past ante 8 (the obs bound, :80).
 
-Dealing: the reference re-deals 8 fresh cards after every play/discard from
-its deck; we deal sequentially from a shuffled 52 and reshuffle when fewer
-than 8 remain (the reference's deck handling via BalatroGame is equivalent
-up to its own draw quirks).
+Dealing: the LIVE reference never deals a card — ``BalatroGame.deck`` starts
+empty and nothing populates it, so the hand is shape (0,) and every play
+action crashes on the missing ``ScoreEngine.score`` (PARITY #B15 has the
+full live status). We deal 8 fresh cards sequentially from a shuffled 52
+(reshuffling when fewer than 8 remain) — the evidently intended semantics,
+live-delimited by ``tests/test_reference_differential_macro.py`` whose
+forced-deal seam pins the hand during comparison.
 """
 from __future__ import annotations
 
@@ -40,8 +43,12 @@ from balatro_gym_tpu.ops.hand_eval import macro_select
 from balatro_gym_tpu.ops.scoring import score_sim
 
 _I64 = jax.dtypes.canonicalize_dtype(jnp.int64)  # i64 under x64, i32 in production (no dtype warnings)
+# f64 under x64 (bit-exact reward parity vs the reference's python floats —
+# scores reach 1e5 where f32 visibly rounds score/100), f32 in production.
+_F64 = jax.dtypes.canonicalize_dtype(jnp.float64)
 
 HAND = 8
+JOKER_CAP = 16
 ACTION_SPACE_SIZE = 70
 PHASE_PLAY, PHASE_SHOP = 0, 1
 
@@ -62,7 +69,9 @@ class MacroEnvState:
     ante: jnp.ndarray        # i32
     hands_left: jnp.ndarray  # i32
     discards_left: jnp.ndarray  # i32
-    jokers: jnp.ndarray      # [8] i32 (reference appends unbounded; cap 8)
+    jokers: jnp.ndarray      # [JOKER_CAP] i32 (reference appends unbounded
+    # via the id-soup + #A43 — 16 physical slots comfortably cover scripted
+    # and trained play; scoring reads ALL of them like the reference)
     joker_n: jnp.ndarray     # i32
     purchased_cards: jnp.ndarray  # i32 — player_state.deck length (shop buys)
     vouchers: jnp.ndarray    # u32
@@ -108,7 +117,7 @@ def reset(key) -> MacroEnvState:
         hand_rank=jnp.zeros(HAND, jnp.int32), hand_suit=jnp.zeros(HAND, jnp.int32),
         chips=jnp.int32(100), score_total=jnp.asarray(0, _I64),
         ante=jnp.int32(1), hands_left=jnp.int32(4), discards_left=jnp.int32(3),
-        jokers=jnp.zeros(8, jnp.int32), joker_n=jnp.int32(0),
+        jokers=jnp.zeros(JOKER_CAP, jnp.int32), joker_n=jnp.int32(0),
         purchased_cards=jnp.int32(0),
         vouchers=jnp.uint32(0), phase=jnp.int32(PHASE_PLAY),
         shop_type=jnp.zeros(SL.SHOP_SLOTS, jnp.int32),
@@ -159,7 +168,7 @@ def _step_play(st: MacroEnvState, action):
     round_over = played.hands_left <= 0
     played = jax.tree.map(
         lambda a, b: jnp.where(round_over, a, b), _end_round(played), _deal(played))
-    r_play = score.astype(jnp.float32) / 100.0
+    r_play = score.astype(_F64) / 100.0
 
     # --- discards 6-8 ---
     # Joker discard money (balatro_env_v2.py:262-264 -> balatro_sim.py:715-736):
@@ -179,8 +188,14 @@ def _step_play(st: MacroEnvState, action):
         lambda a, b: jnp.where(can_discard, a, b), discarded, st)
 
     is_play = action <= 5
-    st2 = jax.tree.map(lambda a, b: jnp.where(is_play, a, b), played, discarded)
-    reward = jnp.where(is_play, r_play, r_disc)
+    is_disc = (action >= 6) & (action <= 8)
+    # BUG-FAITHFUL: _step_play has no else-branch — any action >= 9 in the
+    # play phase is a silent no-op with reward 0.0 (v2:205-274 falls
+    # through to the return).
+    st2 = jax.tree.map(lambda a, b, c: jnp.where(is_play, a,
+                                                 jnp.where(is_disc, b, c)),
+                       played, discarded, st)
+    reward = jnp.where(is_play, r_play, jnp.where(is_disc, r_disc, 0.0))
     return st2, reward
 
 
@@ -225,12 +240,22 @@ def _step_shop(st: MacroEnvState, action):
     new_cards = jnp.where(is_pack_verb, jnp.where(std_pack, 3, 1),
                           jnp.where(is_card_verb, 1, 0))
 
-    # Joker acquisition: the env layer appends the purchased JOKER item
-    # regardless of verb or slot count (v2:178-183); joker-verb buys also
-    # go through shop.step's 5-cap which only affects the reward.
-    add_joker = itype == SL.IT_JOKER
-    jpos = jnp.clip(st.joker_n, 0, 7)
-    can_add = add_joker & (st.joker_n < 8)
+    # Joker acquisition, exact reference layering (live-differentially
+    # verified, tests/test_reference_differential_macro.py):
+    # * joker-verb with <5 jokers: Shop.step appends WITHOUT dedup
+    #   (shop.py:196-199) and the env layer's `not in jokers` check then
+    #   sees the fresh append and skips (v2:182) — net one append, dups
+    #   allowed;
+    # * joker-verb with >=5 jokers: shop refuses (-1, after charging and
+    #   popping) but the env layer appends iff not already owned;
+    # * any other verb (pack/card/voucher) on a JOKER item: env-layer
+    #   append only, dedup'd.
+    dup = jnp.any(jnp.where(jnp.arange(JOKER_CAP) < st.joker_n,
+                            st.jokers == item, False))
+    add_joker = (itype == SL.IT_JOKER) & \
+        ((is_joker_verb & (st.joker_n < 5)) | ~dup)
+    jpos = jnp.clip(st.joker_n, 0, JOKER_CAP - 1)
+    can_add = add_joker & (st.joker_n < JOKER_CAP)
     # Voucher reaches the voucher list only through the voucher verb
     # (pack-verb buys of a voucher just open it as a 'pack').
     add_voucher = (action >= A_VOUCHER) & (itype == SL.IT_VOUCHER)
@@ -244,7 +269,17 @@ def _step_shop(st: MacroEnvState, action):
         vouchers=jnp.where(add_voucher,
                            st.vouchers | (jnp.uint32(1) << item.astype(jnp.uint32)),
                            st.vouchers))
-    bought = jax.tree.map(lambda a, b: jnp.where(ok, a, b), bought, st)
+    # BUG-FAITHFUL (#A43): the env's purchase layer captures the item BEFORE
+    # shop.step and runs UNCONDITIONALLY after it (v2:170-183 never checks
+    # success) — an unaffordable buy of a JOKER slot is not charged or
+    # popped (shop.py:183-184 returns -1 first) but the joker IS appended
+    # (dedup'd by the layer's `not in jokers`).
+    bug_add = ((idx < st.shop_n) & ~(st.chips >= cost_i)
+               & (itype == SL.IT_JOKER) & ~dup & (st.joker_n < JOKER_CAP))
+    failed = st.replace(
+        jokers=jnp.where(bug_add, st.jokers.at[jpos].set(item), st.jokers),
+        joker_n=st.joker_n + jnp.where(bug_add, 1, 0))
+    bought = jax.tree.map(lambda a, b: jnp.where(ok, a, b), bought, failed)
     # shop.step returns -1 for a joker-verb buy with 5+ jokers held (after
     # charging, shop.py:196-198); otherwise 0.
     r_buy = jnp.where(~ok, -1.0,
@@ -267,13 +302,15 @@ def step(st: MacroEnvState, action):
     p_st, p_r = _step_play(st, action)
     s_st, s_r = _step_shop(st, action)
     in_play = st.phase == PHASE_PLAY
-    # Phase-range validity.
-    valid = jnp.where(in_play, action <= 8, action >= A_SKIP)
+    # Play phase accepts ANY action (>=9 are no-ops inside _step_play);
+    # shop-phase actions < 10 CRASH the reference (ShopAction.decode raises,
+    # shop.py:57-68) — not representable in a jitted step, kept as -1 freeze.
+    valid = jnp.where(in_play, True, action >= A_SKIP)
     nxt = jax.tree.map(lambda a, b: jnp.where(in_play, a, b), p_st, s_st)
     reward = jnp.where(in_play, p_r, s_r)
     nxt = jax.tree.map(lambda a, b: jnp.where(valid & ~st.done, a, b), nxt, st)
     reward = jnp.where(st.done, 0.0, jnp.where(valid, reward, -1.0))
-    return nxt, reward.astype(jnp.float32), nxt.done
+    return nxt, reward.astype(_F64), nxt.done
 
 
 def action_mask(st: MacroEnvState):
@@ -303,6 +340,7 @@ def observe(st: MacroEnvState):
 
     valid = jnp.ones(HAND, bool)
     rc = rank_counts(st.hand_rank, valid)
+    in_play = st.phase == PHASE_PLAY
     return {
         "hand": C.encode_sim(st.hand_rank, st.hand_suit).astype(jnp.int32),
         "chips": st.chips,
@@ -316,11 +354,14 @@ def observe(st: MacroEnvState):
         # pair/trips fire for any >= count; Two Pair needs the exact-count
         # condition; flush/straight detection bails on len(hand)>5 so those
         # flags are ALWAYS 0 in the reference (balatro_sim.py:128-161).
-        "has_pair": jnp.any(rc >= 2).astype(jnp.int32),
-        "has_two_pair": ((jnp.sum(rc == 2) == 2)
-                         | ((jnp.sum(rc == 3) == 1)
-                            & (jnp.sum(rc == 2) == 1))).astype(jnp.int32),
-        "has_three_kind": jnp.any(rc >= 3).astype(jnp.int32),
+        # The reference computes them ONLY in the play phase — shop-phase
+        # obs show all-zero flags (balatro_env_v2.py:336-350).
+        "has_pair": (in_play & jnp.any(rc >= 2)).astype(jnp.int32),
+        "has_two_pair": (in_play
+                         & ((jnp.sum(rc == 2) == 2)
+                            | ((jnp.sum(rc == 3) == 1)
+                               & (jnp.sum(rc == 2) == 1)))).astype(jnp.int32),
+        "has_three_kind": (in_play & jnp.any(rc >= 3)).astype(jnp.int32),
         "has_straight": jnp.zeros((), jnp.int32),
         "has_flush": jnp.zeros((), jnp.int32),
     }
