@@ -491,20 +491,27 @@ def _remove_positions(s, rem):
         cum.append(acc)
     new_hn = acc
 
+    # Packed compaction (same word layout as _draw_pass): one
+    # compare+select per (src, dst) pair instead of six.
+    pk = [s["hrk"][p] | (s["hsu"][p] << 4) | (s["hen"][p] << 8)
+          | (s["hed"][p] << 12) | (s["hsl"][p] << 16)
+          | (jnp.maximum(s["hidx"][p], 0) << 20)
+          for p in range(N_HAND)]
     upd = {}
     new_hidx = []
     new_ch = {k: [] for k in _HCH}
+    neg1 = jnp.full((SUB, LANES), -1, i32)
     for q in range(N_HAND):
-        hq = jnp.full((SUB, LANES), -1, i32)
-        chq = {k: jnp.zeros((SUB, LANES), i32) for k in _HCH}
+        acc = neg1
         for p in range(q, N_HAND):
-            m = keep[p] & (cum[p] - 1 == q)
-            hq = jnp.where(m, s["hidx"][p], hq)
-            for k in _HCH:
-                chq[k] = jnp.where(m, s[k][p], chq[k])
-        new_hidx.append(hq)
-        for k in _HCH:
-            new_ch[k].append(chq[k])
+            acc = jnp.where(keep[p] & (cum[p] - 1 == q), pk[p], acc)
+        got = acc >= 0
+        new_hidx.append(jnp.where(got, acc >> 20, -1))
+        new_ch["hrk"].append(jnp.where(got, acc & 15, 0))
+        new_ch["hsu"].append(jnp.where(got, (acc >> 4) & 15, 0))
+        new_ch["hen"].append(jnp.where(got, (acc >> 8) & 15, 0))
+        new_ch["hed"].append(jnp.where(got, (acc >> 12) & 15, 0))
+        new_ch["hsl"].append(jnp.where(got, (acc >> 16) & 15, 0))
     upd["hidx"] = new_hidx
     upd.update(new_ch)
     upd["hn"] = new_hn
@@ -535,17 +542,27 @@ def _draw_pass(s, do):
     for d in range(N_DECK):
         n_drawn = n_drawn + chosen[d].astype(i32)
 
+    # Packed gather: one i32 word carries all five card channels + the slot
+    # index (rk 0-3 | su 4-7 | en 8-11 | ed 12-15 | sl 16-19 | d 20-25), so
+    # the 64x8 (slot, position) grid costs one compare+select per pair
+    # instead of six (values all fit: rk<=14, su<=3, en<=8, ed<=4, sl<=4).
+    pk = [s["rk"][d] | (s["su"][d] << 4) | (s["en"][d] << 8)
+          | (s["edt"][d] << 12) | (s["slc"][d] << 16) | (d << 20)
+          for d in range(N_DECK)]
     new_hidx = list(s["hidx"])
     new_ch = {k: list(s[k]) for k in _HCH}
-    for d in range(N_DECK):
-        for p in range(N_HAND):
-            m = chosen[d] & (pos[d] == p)
-            new_hidx[p] = jnp.where(m, d, new_hidx[p])
-            new_ch["hrk"][p] = jnp.where(m, s["rk"][d], new_ch["hrk"][p])
-            new_ch["hsu"][p] = jnp.where(m, s["su"][d], new_ch["hsu"][p])
-            new_ch["hen"][p] = jnp.where(m, s["en"][d], new_ch["hen"][p])
-            new_ch["hed"][p] = jnp.where(m, s["edt"][d], new_ch["hed"][p])
-            new_ch["hsl"][p] = jnp.where(m, s["slc"][d], new_ch["hsl"][p])
+    neg1 = jnp.full((SUB, LANES), -1, i32)
+    for p in range(N_HAND):
+        acc = neg1
+        for d in range(N_DECK):
+            acc = jnp.where(chosen[d] & (pos[d] == p), pk[d], acc)
+        drawn = acc >= 0
+        new_hidx[p] = jnp.where(drawn, acc >> 20, new_hidx[p])
+        new_ch["hrk"][p] = jnp.where(drawn, acc & 15, new_ch["hrk"][p])
+        new_ch["hsu"][p] = jnp.where(drawn, (acc >> 4) & 15, new_ch["hsu"][p])
+        new_ch["hen"][p] = jnp.where(drawn, (acc >> 8) & 15, new_ch["hen"][p])
+        new_ch["hed"][p] = jnp.where(drawn, (acc >> 12) & 15, new_ch["hed"][p])
+        new_ch["hsl"][p] = jnp.where(drawn, (acc >> 16) & 15, new_ch["hsl"][p])
     lo = s["ih_lo"]
     hi = s["ih_hi"]
     for d in range(N_DECK):
@@ -560,14 +577,12 @@ def _draw_pass(s, do):
 
 def _hand_to_deck(s, mask8):
     """[64] per-slot bools for a hand-position mask (for deck-channel
-    writes)."""
-    out = []
-    for d in range(N_DECK):
-        m = jnp.zeros((SUB, LANES), bool)
-        for p in range(N_HAND):
-            m = m | (mask8[p] & (s["hidx"][p] == d))
-        out.append(m)
-    return out
+    writes). Routed through a u32 bitset: 8 set-bit ops + 64 test-bit ops
+    instead of the naive 64x8 compare/OR grid (~2.5x fewer vector ops;
+    three instantiations per step)."""
+    lo, hi = _slot_bits(s["hidx"], mask8)
+    return [((((lo if d < 32 else hi) >> jnp.uint32(d % 32)) & 1) != 0)
+            for d in range(N_DECK)]
 
 
 def _first_k_selected(sel, k):
@@ -1189,61 +1204,64 @@ def _consumable_branch(s, rng, view, a):
     is_planet = (cid >= CL.PLANET_BASE) & (cid < CL.PLANET_BASE + CL.NUM_PLANET)
     is_spectral = (cid >= CL.SPECTRAL_BASE) & (cid < CL.SPECTRAL_BASE + CL.NUM_SPECTRAL)
 
-    # ---- enhancement tarots ----
-    enh_val = zero
-    enh_k = zero
-    for t in range(1, 23):
-        if _ENH_TAROT[t]:
-            enh_val = enh_val + jnp.where(is_tarot & (cid == t), _ENH_TAROT[t], 0)
-            enh_k = enh_k + jnp.where(is_tarot & (cid == t), _ENH_COUNT[t], 0)
-    tgt_enh = _first_k_selected(sel, enh_k)
-    do_enh = is_tarot & (enh_val > 0) & (n_sel >= 1)
-    tgt64 = _hand_to_deck(s, tgt_enh)
-    cs["en"] = [jnp.where(do_enh & tgt64[d], enh_val, cs["en"][d])
-                for d in range(N_DECK)]
-    cs["hen"] = [jnp.where(do_enh & tgt_enh[p], enh_val, cs["hen"][p])
-                 for p in range(N_HAND)]
-    n_tgt = zero
-    for p in range(N_HAND):
-        n_tgt = n_tgt + tgt_enh[p].astype(i32)
-    reward = reward + jnp.where(do_enh, 2.0 * n_tgt.astype(f32), 0.0)
-    success = success | do_enh
-
-    # ---- seal spectrals (first selected) ----
-    seal_val = zero
-    for sp_ in range(50, 68):
-        if _SEAL_SPEC[sp_]:
-            seal_val = seal_val + jnp.where(is_spectral & (cid == sp_), _SEAL_SPEC[sp_], 0)
+    # Targeting masks shared by several cases below.
     tgt1 = _first_k_selected(sel, jnp.full((SUB, LANES), 1, i32))
     t164 = _hand_to_deck(s, tgt1)
-    do_seal = is_spectral & (seal_val > 0) & (n_sel >= 1)
-    cs["slc"] = [jnp.where(do_seal & t164[d], seal_val, cs["slc"][d])
-                 for d in range(N_DECK)]
-    cs["hsl"] = [jnp.where(do_seal & tgt1[p], seal_val, cs["hsl"][p])
-                 for p in range(N_HAND)]
-    reward = reward + jnp.where(do_seal, 2.0, 0.0)
-    success = success | do_seal
 
-    # ---- Aura / Wheel of Fortune editions on the first selected ----
-    do_aura = (cid == CL.AURA) & (n_sel >= 1)
-    ar = rng.randint(k1, 0, 3)
-    aura_ed = zero
-    for k in range(3):
-        aura_ed = aura_ed + jnp.where(ar == k, _EDITIONS3[k], 0)
-    fired = rng.uniform(k1) < 0.25
-    do_wheel = (cid == CL.WHEEL) & (n_sel >= 1) & fired
-    wr = rng.randint(k2, 0, 3)
-    wheel_ed = zero
-    for k in range(3):
-        wheel_ed = wheel_ed + jnp.where(wr == k, _EDITIONS3[k], 0)
-    ed_do = do_aura | do_wheel
-    ed_val = jnp.where(do_aura, aura_ed, wheel_ed)
-    cs["edt"] = [jnp.where(ed_do & t164[d], ed_val, cs["edt"][d])
-                 for d in range(N_DECK)]
-    cs["hed"] = [jnp.where(ed_do & tgt1[p], ed_val, cs["hed"][p])
-                 for p in range(N_HAND)]
-    reward = reward + jnp.where(ed_do, 2.0, 0.0)
-    success = success | ed_do
+    if "cons_mods" not in _ABLATE:
+        # ---- enhancement tarots ----
+        enh_val = zero
+        enh_k = zero
+        for t in range(1, 23):
+            if _ENH_TAROT[t]:
+                enh_val = enh_val + jnp.where(is_tarot & (cid == t), _ENH_TAROT[t], 0)
+                enh_k = enh_k + jnp.where(is_tarot & (cid == t), _ENH_COUNT[t], 0)
+        tgt_enh = _first_k_selected(sel, enh_k)
+        do_enh = is_tarot & (enh_val > 0) & (n_sel >= 1)
+        tgt64 = _hand_to_deck(s, tgt_enh)
+        cs["en"] = [jnp.where(do_enh & tgt64[d], enh_val, cs["en"][d])
+                    for d in range(N_DECK)]
+        cs["hen"] = [jnp.where(do_enh & tgt_enh[p], enh_val, cs["hen"][p])
+                     for p in range(N_HAND)]
+        n_tgt = zero
+        for p in range(N_HAND):
+            n_tgt = n_tgt + tgt_enh[p].astype(i32)
+        reward = reward + jnp.where(do_enh, 2.0 * n_tgt.astype(f32), 0.0)
+        success = success | do_enh
+
+        # ---- seal spectrals (first selected) ----
+        seal_val = zero
+        for sp_ in range(50, 68):
+            if _SEAL_SPEC[sp_]:
+                seal_val = seal_val + jnp.where(is_spectral & (cid == sp_), _SEAL_SPEC[sp_], 0)
+        do_seal = is_spectral & (seal_val > 0) & (n_sel >= 1)
+        cs["slc"] = [jnp.where(do_seal & t164[d], seal_val, cs["slc"][d])
+                     for d in range(N_DECK)]
+        cs["hsl"] = [jnp.where(do_seal & tgt1[p], seal_val, cs["hsl"][p])
+                     for p in range(N_HAND)]
+        reward = reward + jnp.where(do_seal, 2.0, 0.0)
+        success = success | do_seal
+
+        # ---- Aura / Wheel of Fortune editions on the first selected ----
+        do_aura = (cid == CL.AURA) & (n_sel >= 1)
+        ar = rng.randint(k1, 0, 3)
+        aura_ed = zero
+        for k in range(3):
+            aura_ed = aura_ed + jnp.where(ar == k, _EDITIONS3[k], 0)
+        fired = rng.uniform(k1) < 0.25
+        do_wheel = (cid == CL.WHEEL) & (n_sel >= 1) & fired
+        wr = rng.randint(k2, 0, 3)
+        wheel_ed = zero
+        for k in range(3):
+            wheel_ed = wheel_ed + jnp.where(wr == k, _EDITIONS3[k], 0)
+        ed_do = do_aura | do_wheel
+        ed_val = jnp.where(do_aura, aura_ed, wheel_ed)
+        cs["edt"] = [jnp.where(ed_do & t164[d], ed_val, cs["edt"][d])
+                     for d in range(N_DECK)]
+        cs["hed"] = [jnp.where(ed_do & tgt1[p], ed_val, cs["hed"][p])
+                     for p in range(N_HAND)]
+        reward = reward + jnp.where(ed_do, 2.0, 0.0)
+        success = success | ed_do
 
     # ---- dropped-sync tarots (reward only) ----
     do_strength = (cid == CL.STRENGTH) & (n_sel >= 1)
@@ -1287,40 +1305,43 @@ def _consumable_branch(s, rng, view, a):
     success = success | is_planet
 
     # ---- consumable-creating tarots (double-append quirk) ----
-    gate1 = s["cn"] < s["cslots"]
-    gate2 = s["cn"] + 1 < s["cslots"]
-    p9_0 = CL.PLANET_BASE + rng.randint(k2, 0, 9, 0)
-    p9_1 = CL.PLANET_BASE + rng.randint(k2, 0, 9, 1)
-    t22_0 = CL.ENUMNAME_OFFSET + CL.TAROT_BASE + rng.randint(k2, 0, 22, 0)
-    t22_1 = CL.ENUMNAME_OFFSET + CL.TAROT_BASE + rng.randint(k2, 0, 22, 1)
-    fool_i = rng.randint(k2, 0, jnp.maximum(1, s["cn"]))
-    fool_pick = zero
-    for c5 in range(N_CONS):
-        fool_pick = jnp.where(fool_i == c5, s["cons"][c5], fool_pick)
+    if "cons_crea" in _ABLATE:
+        pending, pend0, pend1 = zero, zero, zero
+    else:
+        gate1 = s["cn"] < s["cslots"]
+        gate2 = s["cn"] + 1 < s["cslots"]
+        p9_0 = CL.PLANET_BASE + rng.randint(k2, 0, 9, 0)
+        p9_1 = CL.PLANET_BASE + rng.randint(k2, 0, 9, 1)
+        t22_0 = CL.ENUMNAME_OFFSET + CL.TAROT_BASE + rng.randint(k2, 0, 22, 0)
+        t22_1 = CL.ENUMNAME_OFFSET + CL.TAROT_BASE + rng.randint(k2, 0, 22, 1)
+        fool_i = rng.randint(k2, 0, jnp.maximum(1, s["cn"]))
+        fool_pick = zero
+        for c5 in range(N_CONS):
+            fool_pick = jnp.where(fool_i == c5, s["cons"][c5], fool_pick)
 
-    do_hp = cid == CL.HIGH_PRIESTESS
-    do_emp = cid == CL.EMPEROR
-    do_judge = cid == CL.JUDGEMENT
-    do_fool = (cid == CL.FOOL) & (s["cn"] > 0)
-    make_two = do_hp | do_emp
-    v0 = jnp.where(do_emp, t22_0, p9_0)
-    v1 = jnp.where(do_emp, t22_1, p9_1)
-    c0, n0 = cs["cons"], cs["cn"]
-    c1, n1 = _append5(c0, n0, v0, make_two & gate1)
-    c2, n2 = _append5(c1, n1, v1, make_two & gate2 & (n1 > n0))
-    c3, n3 = _append5(c2, n2, p9_0, do_judge & gate1)
-    c4, n4 = _append5(c3, n3, fool_pick, do_fool)
-    cs["cons"], cs["cn"] = c4, n4
-    items1 = (n1 > n0).astype(i32) + (n2 > n1).astype(i32) + (n3 > n2).astype(i32)
-    fool_items = (n4 > n3).astype(i32)
-    reward = reward + jnp.where(make_two | do_judge,
-                                5.0 * items1.astype(f32), 0.0)
-    reward = reward + jnp.where(do_fool, 5.0 * fool_items.astype(f32), 0.0)
-    success = success | make_two | do_judge | do_fool
-    pending = jnp.where(make_two | do_judge, items1,
-                        jnp.where(do_fool, fool_items, 0))
-    pend0 = jnp.where(do_fool, fool_pick, jnp.where(do_judge, p9_0, v0))
-    pend1 = v1
+        do_hp = cid == CL.HIGH_PRIESTESS
+        do_emp = cid == CL.EMPEROR
+        do_judge = cid == CL.JUDGEMENT
+        do_fool = (cid == CL.FOOL) & (s["cn"] > 0)
+        make_two = do_hp | do_emp
+        v0 = jnp.where(do_emp, t22_0, p9_0)
+        v1 = jnp.where(do_emp, t22_1, p9_1)
+        c0, n0 = cs["cons"], cs["cn"]
+        c1, n1 = _append5(c0, n0, v0, make_two & gate1)
+        c2, n2 = _append5(c1, n1, v1, make_two & gate2 & (n1 > n0))
+        c3, n3 = _append5(c2, n2, p9_0, do_judge & gate1)
+        c4, n4 = _append5(c3, n3, fool_pick, do_fool)
+        cs["cons"], cs["cn"] = c4, n4
+        items1 = (n1 > n0).astype(i32) + (n2 > n1).astype(i32) + (n3 > n2).astype(i32)
+        fool_items = (n4 > n3).astype(i32)
+        reward = reward + jnp.where(make_two | do_judge,
+                                    5.0 * items1.astype(f32), 0.0)
+        reward = reward + jnp.where(do_fool, 5.0 * fool_items.astype(f32), 0.0)
+        success = success | make_two | do_judge | do_fool
+        pending = jnp.where(make_two | do_judge, items1,
+                            jnp.where(do_fool, fool_items, 0))
+        pend0 = jnp.where(do_fool, fool_pick, jnp.where(do_judge, p9_0, v0))
+        pend1 = v1
 
     # ---- joker-creating spectrals ----
     jslot_free = s["jn"] < s["jslots"]
@@ -1354,114 +1375,150 @@ def _consumable_branch(s, rng, view, a):
     success = success | do_ankh | ((cid == CL.HEX) & (s["jn"] > 0))
     success = success | (cid == CL.BLACK_HOLE)
 
-    # ---- Hanged Man: destroy up to 2 selected ----
-    do_hang = (cid == CL.HANGED_MAN) & (n_sel >= 1)
-    hang64 = _hand_to_deck(s, tgt2)
-    hang_upd = _destroy(s, hang64)
-    cs = _msel(do_hang, hang_upd, cs)
+    # ---- merged destroy/create cases: Hanged Man / Familiar-Grim-
+    # Incantation / Immolate / Cryptid ------------------------------------
+    # The four cases are mutually exclusive in `cid`, so ONE `_destroy` and
+    # ONE `_create_cards` instantiation serve all of them — separately they
+    # were ~30% of kernel step time (docs/ablate_fused_full_r05.jsonl,
+    # stubs cons_hang/cons_fgi/cons_immo/cons_cryptid). Hazard-evading
+    # formulation (docs/ROUND4.md §2: the r04 merge diverged ON CHIP inside
+    # the multi-trip scf.for program with long-lived parallel state dicts):
+    # each merged update is applied into `cs` IMMEDIATELY (destroy → apply
+    # → create FROM cs → apply) so live ranges match the proven unmerged
+    # structure. The create step may read `cs` because it only LANDS on
+    # lanes where `cs` equals the post-destroy state (all other case gates
+    # are false there). Gated by the on-chip fed battery
+    # (scripts/validate_fused_full_tpu.py) before any bench.
+    if "cons_hang" in _ABLATE:
+        do_hang = false
+        hang64 = [false] * N_DECK
+    else:
+        do_hang = (cid == CL.HANGED_MAN) & (n_sel >= 1)
+        hang64 = _hand_to_deck(s, tgt2)
+
+    if "cons_fgi" in _ABLATE:
+        do_fgi = false
+        n_create = zero
+        ranks4 = [zero] * 4
+        suits4 = [zero] * 4
+        enhs4 = [zero] * 4
+    else:
+        is_fgi = (cid == CL.FAMILIAR) | (cid == CL.GRIM) | (cid == CL.INCANTATION)
+        do_fgi = is_fgi & (n_sel >= 1)
+        n_create = jnp.where(cid == CL.FAMILIAR, 3, jnp.where(cid == CL.GRIM, 2, 4))
+        ranks4 = []
+        for k in range(4):
+            ck = rng.child(k4, k)
+            fam = 11 + rng.randint(ck, 0, 3)
+            inc = 2 + rng.randint(ck, 0, 9)
+            ranks4.append(jnp.where(cid == CL.FAMILIAR, fam,
+                                    jnp.where(cid == CL.GRIM, 14, inc)))
+        k9 = rng.fold(k4, 9)
+        k10 = rng.fold(k4, 10)
+        suits4 = [rng.randint(k9, 0, 4, k) for k in range(4)]
+        enhs4 = []
+        for k in range(4):
+            ei = rng.randint(k10, 0, 7, k)
+            ev = zero
+            for q in range(7):
+                ev = ev + jnp.where(ei == q, _ENH_POOL7[q], 0)
+            enhs4.append(ev)
+
+    if "cons_immo" in _ABLATE:
+        do_immo = false
+        ikill = [false] * N_DECK
+        n_killed = zero
+    else:
+        do_immo = cid == CL.IMMOLATE
+        if rng.exact:
+            ikeys = [KR.random_bits32(k3[0], k3[1], jnp.full((SUB, LANES), d, u32))
+                     for d in range(N_DECK)]
+        else:
+            ib = _bitcast(pltpu.prng_random_bits((N_DECK, SUB, LANES)), u32)
+            ikeys = [ib[d] for d in range(N_DECK)]
+        dis_d = jnp.full((SUB, LANES), _SORT_FLIP, i32)
+        ikeys = [jnp.where(s["al"][d], _sortable(ikeys[d]), dis_d)
+                 for d in range(N_DECK)]
+        n_alive = zero
+        for d in range(N_DECK):
+            n_alive = n_alive + s["al"][d].astype(i32)
+        n_kill = jnp.minimum(5, n_alive)
+        ikill = [false for _ in range(N_DECK)]
+        for k in range(5):
+            best_k = dis_d
+            best_d = zero
+            for d in range(N_DECK):
+                b = ikeys[d] > best_k
+                best_k = jnp.maximum(ikeys[d], best_k)
+                best_d = jnp.where(b, d, best_d)
+            for d in range(N_DECK):
+                ikill[d] = ikill[d] | ((best_d == d) & (k < n_kill))
+            ikeys = [jnp.where(best_d == d, dis_d, ikeys[d])
+                     for d in range(N_DECK)]
+        ikill = [ikill[d] & s["al"][d] for d in range(N_DECK)]
+        n_killed = zero
+        for d in range(N_DECK):
+            n_killed = n_killed + ikill[d].astype(i32)
+
+    if "cons_cryptid" in _ABLATE:
+        do_cryptid = false
+        src_rk = zero
+        src_su = zero
+        src_en = zero
+    else:
+        do_cryptid = (cid == CL.CRYPTID) & (n_sel >= 1)
+        src_rk = zero
+        src_su = zero
+        src_en = zero
+        for p in range(N_HAND):
+            src_rk = jnp.where(tgt1[p], ranks[p], src_rk)
+            src_su = jnp.where(tgt1[p], suits[p], src_su)
+            src_en = jnp.where(tgt1[p], enh[p], src_en)
+
+    # one destroy for all three destroying cases, applied immediately
+    dc_kill = [(do_hang & hang64[d]) | (do_fgi & t164[d])
+               | (do_immo & ikill[d]) for d in range(N_DECK)]
+    dc_destroy = do_hang | do_fgi | do_immo
+    if "cons_dc" not in _ABLATE:
+        destroy_upd = _destroy(s, dc_kill)
+        cs = _msel(dc_destroy, destroy_upd, cs)
+    cs["money"] = jnp.where(do_immo, s["money"] + 20, cs["money"])
+
     n_hang = zero
     for p in range(N_HAND):
         n_hang = n_hang + tgt2[p].astype(i32)
     reward = reward + jnp.where(do_hang, 2.0 * n_hang.astype(f32), 0.0)
-    success = success | do_hang
-
-    # ---- Familiar / Grim / Incantation ----
-    is_fgi = (cid == CL.FAMILIAR) | (cid == CL.GRIM) | (cid == CL.INCANTATION)
-    do_fgi = is_fgi & (n_sel >= 1)
-    n_create = jnp.where(cid == CL.FAMILIAR, 3, jnp.where(cid == CL.GRIM, 2, 4))
-    ranks4 = []
-    for k in range(4):
-        ck = rng.child(k4, k)
-        fam = 11 + rng.randint(ck, 0, 3)
-        inc = 2 + rng.randint(ck, 0, 9)
-        ranks4.append(jnp.where(cid == CL.FAMILIAR, fam,
-                                jnp.where(cid == CL.GRIM, 14, inc)))
-    k9 = rng.fold(k4, 9)
-    k10 = rng.fold(k4, 10)
-    suits4 = [rng.randint(k9, 0, 4, k) for k in range(4)]
-    enhs4 = []
-    for k in range(4):
-        ei = rng.randint(k10, 0, 7, k)
-        ev = zero
-        for q in range(7):
-            ev = ev + jnp.where(ei == q, _ENH_POOL7[q], 0)
-        enhs4.append(ev)
-    fgi_upd = _destroy(s, t164)
-    s_fgi = {**s, **fgi_upd}
-    fgi_upd2 = _create_cards(s_fgi, n_create, ranks4, suits4, enhs4)
-    fgi_all = {**fgi_upd, **fgi_upd2}
-    cs = _msel(do_fgi, fgi_all, cs)
     reward = reward + jnp.where(do_fgi, 3.0 * n_create.astype(f32) + 1.0, 0.0)
-    success = success | do_fgi
+    reward = reward + jnp.where(do_immo, n_killed.astype(f32) + 2.0, 0.0)
+    reward = reward + jnp.where(do_cryptid, 6.0, 0.0)
+    success = success | do_hang | do_fgi | do_immo | do_cryptid
+
+    # one create for both creating cases, reading the already-merged cs
+    cr_n = jnp.where(do_fgi, n_create, jnp.where(do_cryptid, 2, 0))
+    cr_rk = [jnp.where(do_cryptid, src_rk, ranks4[k]) for k in range(4)]
+    cr_su = [jnp.where(do_cryptid, src_su, suits4[k]) for k in range(4)]
+    cr_en = [jnp.where(do_cryptid, src_en, enhs4[k]) for k in range(4)]
+    if "cons_dc" not in _ABLATE:
+        create_upd = _create_cards(cs, cr_n, cr_rk, cr_su, cr_en)
+        cs = _msel(do_fgi | do_cryptid, create_upd, cs)
 
     # ---- Sigil / Ouija whole-hand conversions ----
-    do_sigil = (cid == CL.SIGIL) & (s["hn"] > 0)
-    conv_suit = rng.randint(k3, 0, 4)
-    conv_rank = 2 + rng.randint(k3, 0, 13)
-    ihr = _inhand_rows(s)
-    cs["su"] = [jnp.where(do_sigil & ihr[d], conv_suit, cs["su"][d])
-                for d in range(N_DECK)]
-    cs["rk"] = [jnp.where(do_ouija & ihr[d], conv_rank, cs["rk"][d])
-                for d in range(N_DECK)]
-    for p in range(N_HAND):
-        held = jnp.full((SUB, LANES), p, i32) < s["hn"]
-        cs["hsu"][p] = jnp.where(do_sigil & held, conv_suit, cs["hsu"][p])
-        cs["hrk"][p] = jnp.where(do_ouija & held, conv_rank, cs["hrk"][p])
-    reward = reward + jnp.where(do_sigil | do_ouija,
-                                2.0 * s["hn"].astype(f32), 0.0)
-    success = success | do_sigil | do_ouija
-
-    # ---- Immolate: destroy 5 random alive, +$20 ----
-    do_immo = cid == CL.IMMOLATE
-    if rng.exact:
-        ikeys = [KR.random_bits32(k3[0], k3[1], jnp.full((SUB, LANES), d, u32))
-                 for d in range(N_DECK)]
-    else:
-        ib = _bitcast(pltpu.prng_random_bits((N_DECK, SUB, LANES)), u32)
-        ikeys = [ib[d] for d in range(N_DECK)]
-    dis_d = jnp.full((SUB, LANES), _SORT_FLIP, i32)
-    ikeys = [jnp.where(s["al"][d], _sortable(ikeys[d]), dis_d)
-             for d in range(N_DECK)]
-    n_alive = zero
-    for d in range(N_DECK):
-        n_alive = n_alive + s["al"][d].astype(i32)
-    n_kill = jnp.minimum(5, n_alive)
-    kill = [false for _ in range(N_DECK)]
-    for k in range(5):
-        best_k = dis_d
-        best_d = zero
-        for d in range(N_DECK):
-            b = ikeys[d] > best_k
-            best_k = jnp.maximum(ikeys[d], best_k)
-            best_d = jnp.where(b, d, best_d)
-        for d in range(N_DECK):
-            kill[d] = kill[d] | ((best_d == d) & (k < n_kill))
-        ikeys = [jnp.where(best_d == d, dis_d, ikeys[d])
-                 for d in range(N_DECK)]
-    kill = [kill[d] & s["al"][d] for d in range(N_DECK)]
-    immo_upd = _destroy(s, kill)
-    immo_upd["money"] = s["money"] + 20
-    cs = _msel(do_immo, immo_upd, cs)
-    n_killed = zero
-    for d in range(N_DECK):
-        n_killed = n_killed + kill[d].astype(i32)
-    reward = reward + jnp.where(do_immo, n_killed.astype(f32) + 2.0, 0.0)
-    success = success | do_immo
-
-    # ---- Cryptid: 2 copies of the first selected ----
-    do_cryptid = (cid == CL.CRYPTID) & (n_sel >= 1)
-    src_rk = zero
-    src_su = zero
-    src_en = zero
-    for p in range(N_HAND):
-        src_rk = jnp.where(tgt1[p], ranks[p], src_rk)
-        src_su = jnp.where(tgt1[p], suits[p], src_su)
-        src_en = jnp.where(tgt1[p], enh[p], src_en)
-    cry_upd = _create_cards(s, jnp.full((SUB, LANES), 2, i32),
-                            [src_rk] * 4, [src_su] * 4, [src_en] * 4)
-    cs = _msel(do_cryptid, cry_upd, cs)
-    reward = reward + jnp.where(do_cryptid, 6.0, 0.0)
-    success = success | do_cryptid
+    if "cons_sigil" not in _ABLATE:
+        do_sigil = (cid == CL.SIGIL) & (s["hn"] > 0)
+        conv_suit = rng.randint(k3, 0, 4)
+        conv_rank = 2 + rng.randint(k3, 0, 13)
+        ihr = _inhand_rows(s)
+        cs["su"] = [jnp.where(do_sigil & ihr[d], conv_suit, cs["su"][d])
+                    for d in range(N_DECK)]
+        cs["rk"] = [jnp.where(do_ouija & ihr[d], conv_rank, cs["rk"][d])
+                    for d in range(N_DECK)]
+        for p in range(N_HAND):
+            held = jnp.full((SUB, LANES), p, i32) < s["hn"]
+            cs["hsu"][p] = jnp.where(do_sigil & held, conv_suit, cs["hsu"][p])
+            cs["hrk"][p] = jnp.where(do_ouija & held, conv_rank, cs["hrk"][p])
+        reward = reward + jnp.where(do_sigil | do_ouija,
+                                    2.0 * s["hn"].astype(f32), 0.0)
+        success = success | do_sigil | do_ouija
 
     # ---- consume on success: pop slot idx, then env re-append ----
     popped = []
@@ -1478,13 +1535,14 @@ def _consumable_branch(s, rng, view, a):
     cs["cons"], cs["cn"] = cc, nn
 
     cs["sel"] = [false for _ in range(N_HAND)]
-    # failure: revert everything except cleared selection + advanced counters
-    fail_s = dict(s)
-    fail_s["sel"] = [false for _ in range(N_HAND)]
-    fail_s["ctr"] = ctrC
-    out = _msel(success, cs, fail_s)
+    # No failure select needed: EVERY cs write above is gated by a case
+    # predicate that implies `success` (hermit/temperance/planets/Black
+    # Hole succeed unconditionally; all targeted cases carry their own
+    # gates), so on failure lanes cs already equals s + cleared selection +
+    # advanced counters. The old formulation materialized a full-state
+    # _msel(success, cs, fail_s) here — ~450 row selects of pure identity.
     reward = jnp.where(success, reward, -1.0)
-    return out, reward
+    return cs, reward
 
 
 # ---------------------------------------------------------------------------

@@ -62,7 +62,11 @@ def run_one(ablate: str):
 
 def main():
     stages = ["", "play", "disc", "cons", "shopgen", "draw", "ohd", "reset",
-              "cons,shopgen", "play,cons,shopgen"]
+              "cons,shopgen", "play,cons,shopgen",
+              # round-5 sub-stage attribution INSIDE the consumable branch
+              "cons_mods", "cons_crea", "cons_hang", "cons_fgi", "cons_sigil",
+              "cons_immo", "cons_cryptid",
+              "cons_hang,cons_fgi,cons_immo,cons_cryptid"]
     base = None
     for st in stages:
         r = run_one(st)

@@ -447,12 +447,13 @@ def mirror_state(env):
         cons_slots=jnp.int32(env.state.consumable_slots),
         money=jnp.int32(env.state.money),
         hand_levels=jnp.asarray(levels),
+        ante=jnp.int32(env.state.ante),
     )
 
 
 def surgery(env, rng, jokers, consumables, enh_rate=0.25, seal_rate=0.25,
             ed_rate=0.10, money=80, hand_level=0, cons_slots=None,
-            all_lucky=False):
+            all_lucky=False, ante0=None):
     """Plant jokers / card modifiers / consumables / money / hand levels in
     the REFERENCE env (mirror_state copies them into the JAX state).
 
@@ -464,6 +465,11 @@ def surgery(env, rng, jokers, consumables, enh_rate=0.25, seal_rate=0.25,
         env.state.jokers.append(next(j for j in JOKER_LIBRARY if j.id == jid))
     env.state.consumables.extend(consumables)
     env.state.money = money
+    if ante0 is not None:
+        # Deep-ante surgery: the once-per-episode blind select (#A3) then
+        # reads get_blind_chips(ante0) — the 1.5^(ante-8) extrapolation
+        # (balatro_env_2.py:66-74) becomes live-comparable.
+        env.state.ante = int(ante0)
     if cons_slots is not None:
         env.state.consumable_slots = cons_slots
     if hand_level:
@@ -552,11 +558,12 @@ def pick_action(mask_r, st, rng, counters):
 
 
 def run_episode(seed, jokers, consumables, max_steps, counters,
-                hand_level=0, all_lucky=False, first_action=None):
+                hand_level=0, all_lucky=False, first_action=None,
+                policy=None, money=80, ante0=None):
     env, obs_r = make_ref_env(seed)
     rng = np.random.default_rng(seed * 13 + 5)
     surgery(env, rng, jokers, consumables, hand_level=hand_level,
-            cons_slots=5, all_lucky=all_lucky)
+            cons_slots=5, all_lucky=all_lucky, money=money, ante0=ante0)
     obs_r = env._get_observation()
     cap = {}
     record_on_hand_drawn(env, cap)
@@ -576,8 +583,12 @@ def run_episode(seed, jokers, consumables, max_steps, counters,
         # BLIND_SELECT happens once per episode (#A3) — forcing the first
         # action selects WHICH blind deterministically (47 = boss, pulling
         # the next boss type off the 28-boss cycle).
-        a = first_action if (t == 0 and first_action is not None) \
-            else pick_action(mask_r, st, rng, counters)
+        if t == 0 and first_action is not None:
+            a = first_action
+        elif policy is not None:
+            a = policy(env, st, mask_r, t)
+        else:
+            a = pick_action(mask_r, st, rng, counters)
         if a is None:
             break
 
@@ -598,8 +609,21 @@ def run_episode(seed, jokers, consumables, max_steps, counters,
         pre_jokers = [j.id for j in env.state.jokers]
         cons_n_pre = int(np.asarray(st.cons_n))
         hist_start = len(env.rng.history)
+        buy_item = None
+        if 20 <= a < 30 and env.shop and a - 20 < len(env.shop.inventory):
+            buy_item = env.shop.inventory[a - 20]
         cap.pop("eff", None)
         obs_r, r_r, term_r, trunc_r, info = env.step(a)
+
+        # Acquisition-coverage accounting (round-4 verdict item 4).
+        if buy_item is not None and "error" not in info:
+            p = buy_item.payload
+            if "joker_id" in p and float(r_r) == 15.0:
+                counters[f"jbuy_{p['joker_id']}"] += 1
+            if "voucher" in p and info.get("bought_voucher"):
+                counters[f"vbuy_{p['voucher']}"] += 1
+        if "sold_joker" in info:
+            counters[f"jsell_{JOKER_NAME_TO_ID[info['sold_joker']]}"] += 1
 
         forced = neutral_forced()
         lucky_pos, tarot_ids = parse_chance(env, hist_start, sel_order,
@@ -633,6 +657,7 @@ def run_episode(seed, jokers, consumables, max_steps, counters,
             if "error" not in info:
                 counters[f"use_{ref_cons_to_id(used_name)}"] += 1
         counters[f"act_{a // 10}"] += 1
+        counters["max_ante"] = max(counters["max_ante"], env.state.ante)
 
         # ---- our step (jitted; forced chance outcomes ride as arguments) --
         st, r_o, done_o = _step_forced(st, jnp.int32(a), forced)
@@ -733,6 +758,131 @@ def test_differential_replay_vs_live_reference():
     assert counters["act_0"] > 0      # play-phase actions
     assert counters["act_2"] > 0 or counters["act_3"] > 0  # shop actions
     assert counters["act_4"] > 0      # blind actions
+
+
+# ---------------------------------------------------------------------------
+# Acquisition-coverage battery (round-4 verdict item 4): every purchasable
+# joker bought AND sold live, every voucher bought, deep-ante arithmetic.
+# ---------------------------------------------------------------------------
+
+from balatro_gym.shop import ItemType as RefItemType  # noqa: E402
+from balatro_gym.shop import Shop as RefShop  # noqa: E402
+
+PURCHASABLE = [j for j in JOKER_LIBRARY if j.base_cost > 0]  # 145 of 150
+
+
+class _OfferCycle:
+    """Deterministic joker offers: rewrite the shop's rolled joker items to
+    cycle the WHOLE purchasable library (coverage by construction — the
+    stock generator samples uniformly, shop.py:124-128, and would need
+    unbounded episodes to cover 145 ids)."""
+
+    def __init__(self):
+        self.i = 0
+
+    def next(self, exclude):
+        for _ in range(len(PURCHASABLE)):
+            j = PURCHASABLE[self.i % len(PURCHASABLE)]
+            self.i += 1
+            if j.id not in exclude:
+                return j
+        return PURCHASABLE[0]
+
+
+OFFER_CYCLE = _OfferCycle()
+_ORIG_GEN = RefShop._generate_inventory
+
+
+def _cycling_gen(self):
+    """Run the live generator, then rewrite JOKER items to the cycle using
+    the shop's own cost arithmetic (shop.py:126-128)."""
+    _ORIG_GEN(self)
+    seen = set(self.player.jokers)
+    for it in self.inventory:
+        if it.item_type == RefItemType.JOKER:
+            j = OFFER_CYCLE.next(seen)
+            seen.add(j.id)
+            it.name = j.name
+            it.cost = int(j.base_cost * self._cost_mult())
+            it.payload = {"joker_id": j.id}
+
+
+@pytest.fixture
+def offer_cycle(monkeypatch):
+    OFFER_CYCLE.i = 0
+    monkeypatch.setattr(RefShop, "_generate_inventory", _cycling_gen)
+    yield
+
+
+class CoveragePolicy:
+    """Scripted churn: beat rounds fast (level-13 play vs the #A3-frozen
+    ante-1 blind), then buy/sell every joker the cycling shop offers plus
+    each voucher once, then end the shop."""
+
+    def __init__(self):
+        self.vouchers = set()
+
+    def __call__(self, env, st, mask_r, t):
+        if mask_r[0]:
+            return 0  # play
+        if not mask_r[31]:
+            legal = np.nonzero(mask_r)[0]
+            return int(legal[0]) if len(legal) else None
+        # Sell down to 1 owned before buying (slots + money stay liquid;
+        # every buy is followed by a sell, covering both directions).
+        if len(env.state.jokers) >= 2 and mask_r[32]:
+            return 32
+        money = env.state.money
+        owned = {j.id for j in env.state.jokers}
+        for i, it in enumerate(env.shop.inventory[:10]):
+            p = it.payload
+            if "joker_id" in p and it.cost <= money \
+                    and p["joker_id"] not in owned:
+                return 20 + i
+            if "voucher" in p and it.cost <= money \
+                    and p["voucher"] not in self.vouchers \
+                    and p["voucher"] not in env.state.vouchers:
+                self.vouchers.add(p["voucher"])
+                return 20 + i
+        if len(env.state.jokers) >= 1 and mask_r[32]:
+            return 32  # flush the last one out before leaving
+        return 31
+
+
+@pytest.mark.usefixtures("seams", "offer_cycle")
+def test_joker_voucher_and_deep_ante_coverage_live():
+    """Round-4 verdict item 4: (a) every purchasable joker id bought AND
+    sold live at least once, (b) every voucher id bought live, (c) episodes
+    driven past ante 9 (deep-ante round-money arithmetic live) plus a
+    deep-ante blind select comparing the 1.5^(ante-8) extrapolation."""
+    counters = defaultdict(int)
+    BOSS_CYCLE.i = 0
+    policy = CoveragePolicy()
+    for ep in range(4):
+        run_episode(700 + 31 * ep, [], [], max_steps=400, counters=counters,
+                    hand_level=13, first_action=45, policy=policy,
+                    money=3000)
+        bought = {int(k[5:]) for k in counters if k.startswith("jbuy_")}
+        if len(bought) == len(PURCHASABLE):
+            break
+    bought = {int(k[5:]) for k in counters if k.startswith("jbuy_")}
+    sold = {int(k[6:]) for k in counters if k.startswith("jsell_")}
+    all_ids = {j.id for j in PURCHASABLE}
+    assert bought == all_ids, (sorted(all_ids - bought), dict(counters))
+    assert sold == all_ids, (sorted(all_ids - sold), dict(counters))
+    vouchers = {k[5:] for k in counters if k.startswith("vbuy_")}
+    assert vouchers == {"Magic Trick", "Minimalist"}, dict(counters)
+    # (c) the buy/sell march itself runs deep (ante = 1 + rounds//3).
+    assert counters["max_ante"] >= 10, dict(counters)
+
+    # Deep-ante blind select: plant ante 12, select the boss blind — both
+    # sides must agree on get_blind_chips(12) = extrapolated target
+    # (balatro_env_2.py:66-74), and on the fail path at that target.
+    deep = defaultdict(int)
+    run_episode(990, [1, 31], ["Jupiter"], max_steps=30, counters=deep,
+                hand_level=13, first_action=47, ante0=12)
+    assert deep["steps"] >= 5, dict(deep)
+    assert deep["max_ante"] >= 12, dict(deep)
 
 
 @pytest.mark.usefixtures("seams")
