@@ -759,33 +759,39 @@ def _shop_gen(s, rng, key, ante, pow115):
         jb = _bitcast(pltpu.prng_random_bits((JT.NUM_JOKERS, SUB, LANES)), u32)
         jkeys = [jb[j] for j in range(JT.NUM_JOKERS)]
     disabled = jnp.full((SUB, LANES), _SORT_FLIP, i32)
+    # Owned-id bitset (151 ids in 5 u32 words): 5 slot-insert ops + one
+    # test-bit per joker id, instead of the 151x5 compare/OR grid.
+    own = [jnp.zeros((SUB, LANES), u32) for _ in range(5)]
+    for sl_ in range(N_JOK):
+        jid = s["jok"][sl_]
+        w = jid >> 5
+        bit = jnp.uint32(1) << (_bitcast(jid, u32) & jnp.uint32(31))
+        for wi in range(5):
+            own[wi] = own[wi] | jnp.where(w == wi, bit, jnp.uint32(0))
     keys = []
     for j in range(JT.NUM_JOKERS):
         if not _ELIGIBLE[j]:
             keys.append(disabled)
             continue
-        owned = jnp.zeros((SUB, LANES), bool)
-        for sl_ in range(N_JOK):
-            owned = owned | (s["jok"][sl_] == j)
+        owned = ((own[j >> 5] >> jnp.uint32(j & 31)) & 1) != 0
         keys.append(jnp.where(owned, disabled, _sortable(jkeys[j])))
     jids = []
+    jcosts = []
     for _ in range(3):
         best_k = disabled
         best_j = zero
+        best_c = zero
         for j in range(JT.NUM_JOKERS):
             b = keys[j] > best_k
             best_k = jnp.maximum(keys[j], best_k)
             best_j = jnp.where(b, j, best_j)
+            # track the winner's base cost in the same pass — replaces the
+            # separate 3x145-way one-hot cost lookup
+            best_c = jnp.where(b, _JCOST[j], best_c)
         jids.append(best_j)
+        jcosts.append(best_c)
         keys = [jnp.where(best_j == j, disabled, keys[j])
                 for j in range(JT.NUM_JOKERS)]
-    jcosts = []
-    for jid in jids:
-        cost = zero
-        for j in range(JT.NUM_JOKERS):
-            if _JCOST[j]:
-                cost = cost + jnp.where(jid == j, _JCOST[j], 0)
-        jcosts.append(cost)
 
     vid = rng.randint(k_vouch, 0, 2)
     vcost = jnp.where(vid == 0, _VOUCHER_COSTS[0], _VOUCHER_COSTS[1])
@@ -1143,6 +1149,9 @@ def _create_cards(s, n, ranks4, suits4, enhs4):
     for d in range(N_DECK - 1, -1, -1):
         csum = csum + free[d].astype(i32)
         take[d] = free[d] & (csum <= n)
+    # Packed card words (rk 0-3 | su 4-7 | en 8-11): the 64x4 (slot,
+    # ordinal) grid costs one compare+select per pair instead of three.
+    pk4 = [ranks4[k] | (suits4[k] << 4) | (enhs4[k] << 8) for k in range(4)]
     ordinal = jnp.zeros((SUB, LANES), i32)
     rk = list(s["rk"])
     su = list(s["su"])
@@ -1152,17 +1161,12 @@ def _create_cards(s, n, ranks4, suits4, enhs4):
     al = list(s["al"])
     tlo, thi = _rows_to_bits(take)
     for d in range(N_DECK):
-        nr = jnp.zeros((SUB, LANES), i32)
-        ns = jnp.zeros((SUB, LANES), i32)
-        ne = jnp.zeros((SUB, LANES), i32)
+        nv = jnp.zeros((SUB, LANES), i32)
         for k in range(4):
-            m = take[d] & (ordinal == k)
-            nr = jnp.where(m, ranks4[k], nr)
-            ns = jnp.where(m, suits4[k], ns)
-            ne = jnp.where(m, enhs4[k], ne)
-        rk[d] = jnp.where(take[d], nr, rk[d])
-        su[d] = jnp.where(take[d], ns, su[d])
-        en[d] = jnp.where(take[d], ne, en[d])
+            nv = jnp.where(take[d] & (ordinal == k), pk4[k], nv)
+        rk[d] = jnp.where(take[d], nv & 15, rk[d])
+        su[d] = jnp.where(take[d], (nv >> 4) & 15, su[d])
+        en[d] = jnp.where(take[d], (nv >> 8) & 15, en[d])
         edt[d] = jnp.where(take[d], 0, edt[d])
         slc[d] = jnp.where(take[d], 0, slc[d])
         al[d] = al[d] | take[d]
@@ -1451,10 +1455,11 @@ def _consumable_branch(s, rng, view, a):
                 b = ikeys[d] > best_k
                 best_k = jnp.maximum(ikeys[d], best_k)
                 best_d = jnp.where(b, d, best_d)
+            kq = k < n_kill
             for d in range(N_DECK):
-                ikill[d] = ikill[d] | ((best_d == d) & (k < n_kill))
-            ikeys = [jnp.where(best_d == d, dis_d, ikeys[d])
-                     for d in range(N_DECK)]
+                e = best_d == d  # one compare serves kill-set AND knockout
+                ikill[d] = ikill[d] | (e & kq)
+                ikeys[d] = jnp.where(e, dis_d, ikeys[d])
         ikill = [ikill[d] & s["al"][d] for d in range(N_DECK)]
         n_killed = zero
         for d in range(N_DECK):
@@ -1493,14 +1498,16 @@ def _consumable_branch(s, rng, view, a):
     reward = reward + jnp.where(do_cryptid, 6.0, 0.0)
     success = success | do_hang | do_fgi | do_immo | do_cryptid
 
-    # one create for both creating cases, reading the already-merged cs
+    # one create for both creating cases, reading the already-merged cs.
+    # No _msel needed: cr_n is 0 on every non-creating lane, so every
+    # _create_cards row write is already gated row-wise by `take` (all
+    # false at n=0) — the update is identity there (~390 selects saved).
     cr_n = jnp.where(do_fgi, n_create, jnp.where(do_cryptid, 2, 0))
     cr_rk = [jnp.where(do_cryptid, src_rk, ranks4[k]) for k in range(4)]
     cr_su = [jnp.where(do_cryptid, src_su, suits4[k]) for k in range(4)]
     cr_en = [jnp.where(do_cryptid, src_en, enhs4[k]) for k in range(4)]
     if "cons_dc" not in _ABLATE:
-        create_upd = _create_cards(cs, cr_n, cr_rk, cr_su, cr_en)
-        cs = _msel(do_fgi | do_cryptid, create_upd, cs)
+        cs.update(_create_cards(cs, cr_n, cr_rk, cr_su, cr_en))
 
     # ---- Sigil / Ouija whole-hand conversions ----
     if "cons_sigil" not in _ABLATE:
@@ -1542,7 +1549,14 @@ def _consumable_branch(s, rng, view, a):
     # advanced counters. The old formulation materialized a full-state
     # _msel(success, cs, fail_s) here — ~450 row selects of pure identity.
     reward = jnp.where(success, reward, -1.0)
-    return cs, reward
+    # Return only the keys the branch can touch — shop rows / boss state /
+    # phase counters etc. are never modified here, and returning them would
+    # cost ~70 identity selects in _step's do_use merge.
+    touched = ("rk", "su", "en", "edt", "slc", "al", "bp_lo", "bp_hi",
+               "hidx", "hrk", "hsu", "hen", "hed", "hsl", "hn",
+               "ih_lo", "ih_hi", "sel", "money", "lvl", "cons", "cn",
+               "jok", "jn", "hsize", "ctr")
+    return {k: cs[k] for k in touched}, reward
 
 
 # ---------------------------------------------------------------------------

@@ -384,6 +384,63 @@ def policy_apply_fm(params, obs_fm, mask_fm, compute_dtype=None):
     return logits, value
 
 
+def policy_apply_structured_fm(params, obs_fm, mask_fm, compute_dtype=None,
+                               hand_dim=8 * 17, joker_dim=5):
+    """``StructuredActorCritic`` forward with activations [features, envs]
+    (round-4 verdict item 5: the reference-faithful 3-branch extractor on
+    the fast collection path).
+
+    Branches are all Dense, so each gets the same MXU-transposed treatment
+    as :func:`policy_apply_fm`; the branch outputs concatenate on the
+    FEATURE axis (rows), which is free in this layout. Layer binding
+    follows flax nn.compact call order (networks.StructuredActorCritic):
+    Dense_0/1 hand branch, Dense_2/3 joker branch, Dense_4/5 game-state
+    branch, Dense_6/7 trunk, Dense_8 logits, Dense_9 value — each binding
+    is shape-asserted so a reordered module fails loudly.
+    """
+    dense = params["params"]
+    assert all(n.startswith("Dense_") for n in dense), sorted(dense)
+    names = sorted(dense, key=lambda n: int(n.split("_")[1]))
+    assert len(names) == 10, names
+    D, A = obs_fm.shape[0], mask_fm.shape[0]
+    rest_dim = D - hand_dim - joker_dim
+    assert dense["Dense_0"]["kernel"].shape[0] == hand_dim
+    assert dense["Dense_2"]["kernel"].shape[0] == joker_dim
+    assert dense["Dense_4"]["kernel"].shape[0] == rest_dim
+    assert dense["Dense_8"]["kernel"].shape[1] == A
+    assert dense["Dense_9"]["kernel"].shape[1] == 1
+    dt = compute_dtype
+
+    def dot(w, x):
+        y = jax.lax.dot_general(w, x, (((0,), (0,)), ((), ())),
+                                preferred_element_type=f32)
+        return y.astype(dt) if dt is not None else y
+
+    def layer(name, x):
+        w, b = dense[name]["kernel"], dense[name]["bias"]
+        if dt is not None:
+            w, b = w.astype(dt), b.astype(dt)
+        return dot(w, x) + b[:, None]
+
+    x = obs_fm if dt is None else obs_fm.astype(dt)
+    h = x[:hand_dim]
+    j = x[hand_dim:hand_dim + joker_dim]
+    g = x[hand_dim + joker_dim:]
+    for name in ("Dense_0", "Dense_1"):
+        h = jax.nn.relu(layer(name, h))
+    for name in ("Dense_2", "Dense_3"):
+        j = jax.nn.relu(layer(name, j))
+    for name in ("Dense_4", "Dense_5"):
+        g = jax.nn.relu(layer(name, g))
+    z = jnp.concatenate([h, j, g], axis=0)
+    for name in ("Dense_6", "Dense_7"):
+        z = jax.nn.relu(layer(name, z))
+    logits = layer("Dense_8", z).astype(f32)
+    logits = jnp.where(mask_fm, logits, -1e9)
+    value = layer("Dense_9", z)[0].astype(f32)
+    return logits, value
+
+
 def sample_fm(key, logits_fm):
     """Categorical sample + log-prob, feature-major. Returns
     (action [E] i32, log_prob [E] f32)."""

@@ -105,7 +105,10 @@ class PPOConfig:
     # Three-branch features extractor (the reference's
     # BalatroFeaturesExtractor intent, train_balatro_agent.py:42-119 —
     # see networks.StructuredActorCritic; its own version cannot run).
-    # Flagship-env obs layout only; incompatible with fused_rollout.
+    # Flagship-env obs layout only. Works with fused_rollout (the
+    # feature-major twin ops.fused_policy_rollout.policy_apply_structured_fm
+    # runs the three branches MXU-transposed and concatenates on the
+    # feature axis).
     structured_net: bool = False
     # Shuffle minibatches by permuting the ENV axis (contiguous [T,...]-row
     # gather, ~1 ms) instead of a full flat-batch row permutation (random
@@ -154,9 +157,6 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
             f"n_envs={cfg.n_envs} % minibatches={cfg.minibatches}"
     dt = jnp.bfloat16 if cfg.bf16_compute else None
     if cfg.structured_net:
-        assert not cfg.fused_rollout, \
-            "structured_net is incompatible with fused_rollout (the " \
-            "feature-major kernel path mirrors the plain Dense stack)"
         net = StructuredActorCritic(n_actions=hooks.n_actions,
                                     compute_dtype=dt)
     else:
@@ -245,14 +245,16 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
                                            interpret=cfg.fused_interpret)
         dt = jnp.bfloat16 if cfg.bf16_compute else None
 
+        apply_fm = (FP.policy_apply_structured_fm if cfg.structured_net
+                    else FP.policy_apply_fm)
+
         def body(carry, k):
             cards, ints, rng, obs_fm, mask_fm, ret_carry, prev_a = carry
             obs2 = FP.flat_fm(obs_fm)
             if cfg.normalize_obs:
                 obs2 = normalize_fm(obs_stats, obs2)
             mask2 = FP.flat_fm(mask_fm) != 0
-            logits, value = FP.policy_apply_fm(params, obs2, mask2,
-                                               compute_dtype=dt)
+            logits, value = apply_fm(params, obs2, mask2, compute_dtype=dt)
             action, log_prob = FP.sample_fm(k, logits)
             cards, ints, rng, rew, done, obs_fm, mask_fm = FP.step_tiles(
                 cards, ints, rng, FP.unflat_fm(action[None], n_tiles),

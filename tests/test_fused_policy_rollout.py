@@ -97,6 +97,48 @@ def test_policy_apply_fm_matches_actor_critic_bf16():
     assert np.abs(np.asarray(v_ref) - np.asarray(v_fm)).max() <= 3e-2
 
 
+def test_policy_apply_structured_fm_matches_module():
+    """Feature-major twin of StructuredActorCritic (r04 verdict item 5):
+    the 3-branch extractor must run on the fused collection path with
+    values matching the flax module to matmul-order tolerance, f32 and
+    bf16."""
+    from balatro_gym_tpu.train.networks import StructuredActorCritic
+
+    for dt, tol in ((None, 1e-4), (jnp.bfloat16, 3e-2)):
+        net = StructuredActorCritic(n_actions=FP.N_ACTIONS, compute_dtype=dt)
+        params = net.init(jax.random.key(1), jnp.zeros((1, FP.OBS_DIM)),
+                          jnp.ones((1, FP.N_ACTIONS), bool))
+        obs = jax.random.normal(jax.random.key(2), (512, FP.OBS_DIM),
+                                jnp.float32)
+        mask = jax.random.bernoulli(jax.random.key(3), 0.5,
+                                    (512, FP.N_ACTIONS))
+        l_ref, v_ref = net.apply(params, obs, mask)
+        l_fm, v_fm = FP.policy_apply_structured_fm(params, obs.T, mask.T,
+                                                   compute_dtype=dt)
+        legal = np.asarray(mask)
+        ld = np.abs(np.where(legal,
+                             np.asarray(l_ref) - np.asarray(l_fm).T, 0.0))
+        assert ld.max() <= tol, (dt, ld.max())
+        assert (np.asarray(l_fm).T[~legal] == -1e9).all()
+        vd = np.abs(np.asarray(v_ref) - np.asarray(v_fm)).max()
+        assert vd <= tol * 10, (dt, vd)
+
+
+def test_fused_ppo_update_traces_structured():
+    """PPOConfig(structured_net=True, fused_rollout=True) must trace and
+    execute (interpret mode on CPU)."""
+    from balatro_gym_tpu.train.ppo import PPOConfig, full_env_hooks, make_ppo
+
+    cfg = PPOConfig(n_envs=FP.TILE, rollout_len=2, epochs=1, minibatches=2,
+                    fused_rollout=True, fused_interpret=True,
+                    structured_net=True)
+    init_fn, update_fn, _ = make_ppo(full_env_hooks(), cfg)
+    ts = init_fn(jax.random.key(0))
+    ts, metrics = jax.jit(update_fn)(ts)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(ts.update_idx) == 1
+
+
 def test_policy_apply_fm_structure_guards():
     """Mis-bound weights fail loudly (ADVICE r3): a mask whose action count
     doesn't match the logits head trips the shape assertion."""
