@@ -44,7 +44,8 @@ from balatro_gym_tpu.engine import sim_env
 from balatro_gym_tpu.ops.fused_rollout import TILE, rollout_fused
 
 N_ENVS = 131072       # TPU sim-kernel shape: throughput saturates here
-N_ENVS_FULL = 16384   # TPU full-env kernel shape (diminishing returns past)
+N_ENVS_FULL = 65536   # TPU full-env kernel saturation shape (grid-size
+# sweep scripts/probe_env_counts.py; 16384 also reported for r04 comparability)
 N_ENVS_CPU = 8192     # CPU-baseline shape: CPU throughput is flat in env
 #                       count (cache/bandwidth-bound) — measured at its own
 #                       best shape so the ratio stays fair (see
@@ -133,7 +134,20 @@ def _full_env_throughput(on_accelerator: bool):
                 float(out["total_reward"][0])
                 times.append(time.perf_counter() - t0)
             med, spread = _median_spread(times, REPS * N_ENVS_FULL * N_STEPS)
-            return med, spread, "fused", None
+            # r04-comparable shape (the old bench ran 16384): cheap
+            # secondary sample so round-over-round deltas stay readable.
+            n16 = 16384
+            float(rollout_full_fused(0, n16, N_STEPS)["total_reward"][0])
+            t16 = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                for _ in range(REPS):
+                    out = rollout_full_fused(seed, n16, N_STEPS)
+                    seed += n16 // TILE
+                float(out["total_reward"][0])
+                t16.append(time.perf_counter() - t0)
+            med16, _ = _median_spread(t16, REPS * n16 * N_STEPS)
+            return med, spread, "fused", None, round(med16, 1)
         except Exception as e:  # noqa: BLE001 - reported, not swallowed
             fused_error = f"{type(e).__name__}: {e}"
             print(f"fused full-env kernel FAILED, falling back to jnp: "
@@ -144,7 +158,7 @@ def _full_env_throughput(on_accelerator: bool):
     else:
         n_envs, n_steps = 512, 32  # jnp full env on 2 host cores: keep it short
     med, spread = _jnp_full_env_throughput(None, n_envs, n_steps)
-    return med, spread, "jnp-fallback", fused_error
+    return med, spread, "jnp-fallback", fused_error, None
 
 
 def _jnp_full_env_throughput(device, n_envs, n_steps, samples=2):
@@ -240,8 +254,8 @@ def main():
     except RuntimeError:
         cpu = None  # no separate cpu backend visible; report 1.0
 
-    full_tput, full_spread, full_path, full_err = _full_env_throughput(
-        on_accelerator)
+    (full_tput, full_spread, full_path, full_err,
+     full_16k) = _full_env_throughput(on_accelerator)
 
     # Flagship-env CPU denominator (BASELINE.md's >=10x/chip target).
     full_vs_baseline = 1.0
@@ -269,6 +283,8 @@ def main():
         "full_env_path": full_path,
         "full_env_vs_baseline": round(full_vs_baseline, 3),
     }
+    if full_16k is not None:
+        out["full_env_steps_per_sec_16k"] = full_16k
     if full_err is not None:
         out["full_env_error"] = full_err[:500]
     if collect_tput is not None:
