@@ -86,6 +86,15 @@ class PPOConfig:
     # works. Metrics/raw rewards are unaffected (shaping-only, like
     # train/progression.py).
     repeat_penalty: float = 0.0
+    # TRAIN-TIME anti-livelock, round-5 (the repeat_penalty above is the
+    # r04 negative result: 2-cycles evade a 1-step check). This is the
+    # train-time twin of the #B13 eval mask: each lane carries a bitset of
+    # actions taken since its last POSITIVE-reward step; re-taking one
+    # while still scoreless costs ``cycle_penalty`` (shaping only — raw
+    # rewards/metrics unaffected). Catches k-cycles of any length: a cycle
+    # must eventually re-enter its own action set without scoring. The
+    # bitset resets on positive reward or episode end.
+    cycle_penalty: float = 0.0
     hidden: tuple = (256, 256)
     # VecNormalize-equivalent running normalization (hpc_train.py:68-72).
     normalize_obs: bool = True
@@ -204,26 +213,46 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
         rep = (action == prev_a) & (reward <= 0.0)
         return reward - cfg.repeat_penalty * rep.astype(jnp.float32)
 
+    def _cycle_shape(reward, action, done, alo, ahi):
+        """Since-last-reward action-set penalty (PPOConfig.cycle_penalty).
+        Returns (shaped reward, new bitset lo, new bitset hi)."""
+        if not cfg.cycle_penalty:
+            return reward, alo, ahi
+        a = action.astype(jnp.uint32)
+        sh = a & jnp.uint32(31)
+        word = jnp.where(action < 32, alo, ahi)
+        seen = ((word >> sh) & 1) != 0
+        rep = seen & (reward <= 0.0)
+        shaped = reward - cfg.cycle_penalty * rep.astype(jnp.float32)
+        bit = jnp.uint32(1) << sh
+        nlo = alo | jnp.where(action < 32, bit, jnp.uint32(0))
+        nhi = ahi | jnp.where(action < 32, jnp.uint32(0), bit)
+        reset = (reward > 0.0) | done
+        z = jnp.uint32(0)
+        return shaped, jnp.where(reset, z, nlo), jnp.where(reset, z, nhi)
+
     def _rollout(params, env_states, key, obs_stats, ret_stats, ret_carry):
         def body(carry, k):
-            env_states, ret_carry, prev_a = carry
+            env_states, ret_carry, prev_a, alo, ahi = carry
             k_act, k_step = jax.random.split(k)
             obs, mask, action, log_prob, value = _policy_step(
                 params, env_states, k_act, obs_stats)
             env_states, reward, done = jax.vmap(hooks.step_autoreset)(env_states, action)
             raw = reward.astype(jnp.float32)
             reward = _shape(raw, action, prev_a)
+            reward, alo, ahi = _cycle_shape(reward, action, done, alo, ahi)
             ret_carry = ret_carry * cfg.gamma * (1.0 - done.astype(jnp.float32)) + reward
             train_reward = (normalize_reward(ret_stats, reward)
                             if cfg.normalize_reward else reward)
             # i32 regardless of x64 (categorical yields i64 there).
             prev_a = jnp.where(done, -1, action).astype(jnp.int32)
             t = Transition(obs, mask, action, log_prob, value, train_reward, done)
-            return (env_states, ret_carry, prev_a), (t, raw, ret_carry)
+            return (env_states, ret_carry, prev_a, alo, ahi), (t, raw, ret_carry)
 
         prev0 = jnp.full(ret_carry.shape, -1, jnp.int32)
-        (env_states, ret_carry, _), (traj, raw_rewards, rets) = jax.lax.scan(
-            body, (env_states, ret_carry, prev0),
+        bits0 = jnp.zeros(ret_carry.shape, jnp.uint32)
+        (env_states, ret_carry, _, _, _), (traj, raw_rewards, rets) = jax.lax.scan(
+            body, (env_states, ret_carry, prev0, bits0, bits0),
             jax.random.split(key, cfg.rollout_len))
         return env_states, traj, raw_rewards, rets, ret_carry
 
@@ -249,7 +278,7 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
                     else FP.policy_apply_fm)
 
         def body(carry, k):
-            cards, ints, rng, obs_fm, mask_fm, ret_carry, prev_a = carry
+            cards, ints, rng, obs_fm, mask_fm, ret_carry, prev_a, alo, ahi = carry
             obs2 = FP.flat_fm(obs_fm)
             if cfg.normalize_obs:
                 obs2 = normalize_fm(obs_stats, obs2)
@@ -262,6 +291,7 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
             raw = FP.flat_fm(rew)[0]
             done = FP.flat_fm(done)[0] != 0
             reward = _shape(raw, action, prev_a)
+            reward, alo, ahi = _cycle_shape(reward, action, done, alo, ahi)
             prev_a = jnp.where(done, -1, action)
             ret_carry = (ret_carry * cfg.gamma * (1.0 - done.astype(jnp.float32))
                          + reward)
@@ -275,14 +305,17 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
             obs_store = obs2.astype(dt) if dt is not None else obs2
             out = (obs_store, mask2, action, log_prob, value, train_reward,
                    raw, done, ret_carry)
-            return (cards, ints, rng, obs_fm, mask_fm, ret_carry, prev_a), out
+            return (cards, ints, rng, obs_fm, mask_fm, ret_carry, prev_a,
+                    alo, ahi), out
 
         prev0 = jnp.full(ret_carry.shape, -1, jnp.int32)
+        bits0 = jnp.zeros(ret_carry.shape, jnp.uint32)
         carry, (obs_s, mask_s, act_s, lp_s, val_s, trew_s, rew_s, done_s,
                 rets_s) = jax.lax.scan(
-            body, (cards, ints, rng, obs_fm, mask_fm, ret_carry, prev0),
+            body, (cards, ints, rng, obs_fm, mask_fm, ret_carry, prev0,
+                   bits0, bits0),
             jax.random.split(key, cfg.rollout_len))
-        cards, ints, rng, _, _, ret_carry, _ = carry
+        cards, ints, rng, _, _, ret_carry, _, _, _ = carry
         env_states = FP.unpack_full_state(FP.untile_packed(cards, ints, rng))
         traj = Transition(obs=obs_s.transpose(0, 2, 1),
                           mask=mask_s.transpose(0, 2, 1),
