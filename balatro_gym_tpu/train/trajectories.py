@@ -166,6 +166,52 @@ def analyze_trajectories(trajectories):
     return rows, agg
 
 
+def plot_trajectories(trajectories, out_path: str | Path = "trajectory_analysis.png"):
+    """The reference ``TrajectoryAnalyzer`` chart panel, rebuilt for our
+    trajectory format (reference: trajectory_analysis.py:6-97 — itself
+    unimportable as written: it uses ``Path`` without importing it, :10).
+
+    2x2 panel: total reward per episode, final score per episode, decision
+    (action-type) distribution, and per-episode length — saved to
+    ``out_path`` (headless Agg backend; no ``plt.show``).
+    Returns the per-trajectory rows from :func:`analyze_trajectories`.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows, agg = analyze_trajectories(trajectories)
+    fig, axes = plt.subplots(2, 2, figsize=(12, 10))
+
+    axes[0, 0].plot([r["total_reward"] for r in rows])
+    axes[0, 0].set_title("Total Reward per Episode")
+    axes[0, 0].set_xlabel("Episode")
+    axes[0, 0].set_ylabel("Total Reward")
+
+    axes[0, 1].plot([r["final_score"] for r in rows])
+    axes[0, 1].set_title("Final Score per Episode")
+    axes[0, 1].set_xlabel("Episode")
+    axes[0, 1].set_ylabel("Score")
+
+    from collections import Counter
+    decisions = Counter(t["action"]["type"] for traj in trajectories
+                        for t in traj)
+    axes[1, 0].bar(list(decisions.keys()),
+                   list(decisions.values()))
+    axes[1, 0].set_title("Decision Type Distribution")
+    axes[1, 0].tick_params(axis="x", rotation=45)
+
+    axes[1, 1].plot([r["transitions"] for r in rows])
+    axes[1, 1].set_title("Trajectory Length per Episode")
+    axes[1, 1].set_xlabel("Episode")
+    axes[1, 1].set_ylabel("Transitions")
+
+    fig.tight_layout()
+    fig.savefig(out_path)
+    plt.close(fig)
+    return rows, agg
+
+
 def main():  # pragma: no cover
     import argparse
 
@@ -173,10 +219,14 @@ def main():  # pragma: no cover
     p.add_argument("--n", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="trajectories.json")
+    p.add_argument("--plot", type=str, default="",
+                   help="write the TrajectoryAnalyzer chart panel here")
     args = p.parse_args()
     trajs = collect_sim_trajectories(args.n, args.seed)
     save_trajectories(trajs, args.out)
     rows, agg = analyze_trajectories(trajs)
+    if args.plot:
+        plot_trajectories(trajs, args.plot)
     print(json.dumps(agg))
 
 

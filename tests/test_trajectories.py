@@ -51,3 +51,16 @@ def test_analyzer():
     assert agg["n_trajectories"] == 3
     assert len(rows) == 3
     assert all(r["transitions"] >= 1 for r in rows)
+
+
+def test_plot_trajectories(tmp_path):
+    """The reference TrajectoryAnalyzer chart panel (trajectory_analysis.py:
+    60-97), rebuilt for our trajectory format: writes a real PNG."""
+    from balatro_gym_tpu.train.trajectories import (collect_sim_trajectories,
+                                                    plot_trajectories)
+
+    trajs = collect_sim_trajectories(3, seed=0)
+    out = tmp_path / "panel.png"
+    rows, agg = plot_trajectories(trajs, out)
+    assert out.exists() and out.stat().st_size > 1000
+    assert len(rows) == 3 and agg["n_trajectories"] == 3
