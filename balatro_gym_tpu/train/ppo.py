@@ -213,21 +213,27 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
         rep = (action == prev_a) & (reward <= 0.0)
         return reward - cfg.repeat_penalty * rep.astype(jnp.float32)
 
-    def _cycle_shape(reward, action, done, alo, ahi):
+    def _cycle_shape(train_reward, raw, action, done, alo, ahi):
         """Since-last-reward action-set penalty (PPOConfig.cycle_penalty).
-        Returns (shaped reward, new bitset lo, new bitset hi)."""
+
+        Applied in TRAINING-REWARD units, i.e. AFTER reward normalization:
+        the flagship's return std is in the thousands, so a pre-norm
+        penalty divides to ~nothing (measured: cycle_penalty=0.05 pre-norm
+        left plain-argmax livelock untouched, docs/livelock_r05.json).
+        Cycle detection gates on the RAW reward (scoreless steps).
+        Returns (shaped train reward, new bitset lo, new bitset hi)."""
         if not cfg.cycle_penalty:
-            return reward, alo, ahi
+            return train_reward, alo, ahi
         a = action.astype(jnp.uint32)
         sh = a & jnp.uint32(31)
         word = jnp.where(action < 32, alo, ahi)
         seen = ((word >> sh) & 1) != 0
-        rep = seen & (reward <= 0.0)
-        shaped = reward - cfg.cycle_penalty * rep.astype(jnp.float32)
+        rep = seen & (raw <= 0.0)
+        shaped = train_reward - cfg.cycle_penalty * rep.astype(jnp.float32)
         bit = jnp.uint32(1) << sh
         nlo = alo | jnp.where(action < 32, bit, jnp.uint32(0))
         nhi = ahi | jnp.where(action < 32, jnp.uint32(0), bit)
-        reset = (reward > 0.0) | done
+        reset = (raw > 0.0) | done
         z = jnp.uint32(0)
         return shaped, jnp.where(reset, z, nlo), jnp.where(reset, z, nhi)
 
@@ -240,10 +246,11 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
             env_states, reward, done = jax.vmap(hooks.step_autoreset)(env_states, action)
             raw = reward.astype(jnp.float32)
             reward = _shape(raw, action, prev_a)
-            reward, alo, ahi = _cycle_shape(reward, action, done, alo, ahi)
             ret_carry = ret_carry * cfg.gamma * (1.0 - done.astype(jnp.float32)) + reward
             train_reward = (normalize_reward(ret_stats, reward)
                             if cfg.normalize_reward else reward)
+            train_reward, alo, ahi = _cycle_shape(train_reward, raw, action,
+                                                  done, alo, ahi)
             # i32 regardless of x64 (categorical yields i64 there).
             prev_a = jnp.where(done, -1, action).astype(jnp.int32)
             t = Transition(obs, mask, action, log_prob, value, train_reward, done)
@@ -291,12 +298,13 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
             raw = FP.flat_fm(rew)[0]
             done = FP.flat_fm(done)[0] != 0
             reward = _shape(raw, action, prev_a)
-            reward, alo, ahi = _cycle_shape(reward, action, done, alo, ahi)
             prev_a = jnp.where(done, -1, action)
             ret_carry = (ret_carry * cfg.gamma * (1.0 - done.astype(jnp.float32))
                          + reward)
             train_reward = (normalize_reward(ret_stats, reward)
                             if cfg.normalize_reward else reward)
+            train_reward, alo, ahi = _cycle_shape(train_reward, raw, action,
+                                                  done, alo, ahi)
             # bf16 learners cast obs to bf16 at the first matmul anyway —
             # storing the trajectory obs in bf16 is numerically identical
             # for them and halves the store/gather/read traffic of the
