@@ -79,7 +79,7 @@ def main():
     results = {}
     if os.path.exists(OUT):
         results = json.load(open(OUT))
-    for tag, cp in (("cp0.5_postnorm", 0.5), ("cp2.0_postnorm", 2.0)):
+    for tag, cp in (("cp0.01_postnorm", 0.01), ("cp0.03_postnorm", 0.03)):
         results[tag] = run(tag, cp, args.updates, seed=1)
         with open(OUT, "w") as f:
             json.dump(results, f, indent=1)

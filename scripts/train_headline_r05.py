@@ -98,6 +98,10 @@ def main():
     runs = {
         "base_8k": lambda: run("base_8k", e4(u), u, seed=1),
         "kl_8k": lambda: run("kl_8k", e4(u, kl_target=0.015), u, seed=1),
+        # 2x the fixed-collapse horizon (8.4B env steps) with the KL
+        # guardrail on: the stability stress artifact.
+        "kl_16k": lambda: run("kl_16k", e4(16000, kl_target=0.015), 16000,
+                              seed=1, log_every=500),
     }
     results = {}
     if os.path.exists(OUT):
