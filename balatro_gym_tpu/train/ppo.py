@@ -95,6 +95,18 @@ class PPOConfig:
     # must eventually re-enter its own action set without scoring. The
     # bitset resets on positive reward or episode end.
     cycle_penalty: float = 0.0
+    # Re-reset ALL training envs every N updates (0 = never). The
+    # reference's trainer caps episodes at 1000 steps + 50 invalid actions
+    # (SafeBalatroEnv, train_balatro_fixed.py:231,289) — our persistent
+    # lanes have no cap, and the r05 kl_16k run showed why one exists:
+    # lanes wedge into zero-reward livelock basins (training reward
+    # pinned at exactly 0 from ~update 6500) while the POLICY itself stays
+    # healthy (the same checkpoint's fresh-episode eval reads sampled ante
+    # 16). Resetting before the rollout truncates wedged lanes like a
+    # time limit; N*rollout_len is the effective per-lane episode cap
+    # (N=32 at rollout 64 ~= 2048 steps, the same order as the
+    # reference's cap).
+    reset_envs_every: int = 0
     hidden: tuple = (256, 256)
     # VecNormalize-equivalent running normalization (hpc_train.py:68-72).
     normalize_obs: bool = True
@@ -380,7 +392,7 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
         mesh axis), gradients are pmean'd across the axis so parameters stay
         replicated while envs stay sharded.
         """
-        key, k_roll, k_perm = jax.random.split(ts.key, 3)
+        key, k_roll, k_perm, k_reset = jax.random.split(ts.key, 4)
         if axis_name is not None:
             # The carried key is replicated across the mesh; decorrelate the
             # per-shard rollout/permutation draws while keeping params (and
@@ -388,9 +400,27 @@ def make_ppo(hooks: EnvHooks, cfg: PPOConfig):
             idx = jax.lax.axis_index(axis_name)
             k_roll = jax.random.fold_in(k_roll, idx)
             k_perm = jax.random.fold_in(k_perm, idx)
+            k_reset = jax.random.fold_in(k_reset, idx)
+        env_states, ret_carry0 = ts.env_states, ts.ret_carry
+        if cfg.reset_envs_every:
+            # Staggered per-lane time limit BEFORE the rollout (see
+            # PPOConfig.reset_envs_every): lane i resets at update u when
+            # (u + i) % K == 0, so 1/K of the lanes truncate each update
+            # (no synchronized composition shock) and every lane's episode
+            # age is capped at K*rollout_len steps. GAE is unaffected (the
+            # reset sits between updates); ret_carry zeroes with the lane.
+            n_local = ret_carry0.shape[0]
+            lanes = jnp.arange(n_local)
+            do_lane = ((ts.update_idx + lanes) % cfg.reset_envs_every) == 0
+            fresh = jax.vmap(hooks.reset)(jax.random.split(k_reset, n_local))
+            env_states = jax.tree.map(
+                lambda a, b: jnp.where(
+                    do_lane.reshape((-1,) + (1,) * (a.ndim - 1)), a, b),
+                fresh, env_states)
+            ret_carry0 = jnp.where(do_lane, 0.0, ret_carry0)
         env_states, traj, raw_rewards, rets, ret_carry = _rollout(
-            ts.params, ts.env_states, k_roll, ts.obs_stats, ts.ret_stats,
-            ts.ret_carry)
+            ts.params, env_states, k_roll, ts.obs_stats, ts.ret_stats,
+            ret_carry0)
 
         # VecNormalize-style stat refresh (pmean-merged across shards).
         # traj.obs may be stored bf16 (fused+bf16 path) — accumulate stats

@@ -102,6 +102,23 @@ def main():
         # guardrail on: the stability stress artifact.
         "kl_16k": lambda: run("kl_16k", e4(16000, kl_target=0.015), 16000,
                               seed=1, log_every=500),
+        # Schedule-isolation variant: same 16k updates but the decays run
+        # over the first 8000 and HOLD their final values after (optax
+        # linear_schedule clamps; the ent decay frac clips at 1) — tests
+        # whether the kl_16k collapse is the STRETCHED schedule (high
+        # entropy coef deep into the run) rather than the horizon itself.
+        "hold_16k": lambda: run("hold_16k",
+                                e4(8000, kl_target=0.015), 16000,
+                                seed=1, log_every=500),
+        # Episode-cap isolation: the SAME stretched schedule that collapsed
+        # (kl_16k) plus the staggered per-lane time limit (32 updates x
+        # rollout 64 = 2048-step cap, the reference's SafeBalatroEnv
+        # order) — tests whether truncating wedged lanes alone prevents
+        # the zero-reward collection collapse.
+        "cap_16k": lambda: run("cap_16k",
+                               e4(16000, kl_target=0.015,
+                                  reset_envs_every=32), 16000,
+                               seed=1, log_every=500),
     }
     results = {}
     if os.path.exists(OUT):
