@@ -439,14 +439,23 @@ def use_consumable(st, idx):
     success |= do_sigil | do_ouija
 
     # Immolate: destroy 5 random alive cards, +$20 (consumables.py:518-530).
-    # Uniform-without-replacement via top-5 of iid uniform u32 keys (integer
-    # keys so the fused kernel replays the draws bit-exactly via
-    # ops/kernel_rng; tie/zero-key probability ~2**-32 is negligible).
+    # Uniform-without-replacement via top-5 of iid uniform PACKED priority
+    # words (integer keys so the fused kernel replays the draws bit-exactly
+    # via ops/kernel_rng). The word packs key25 (bits 31-7) | 127-slot
+    # (bits 6-0): the unique slot payload makes every word distinct (no
+    # ties) and strictly positive (never the I32_MIN dead sentinel), which
+    # lets the fused kernel run ONE top-5 min/max insertion cascade instead
+    # of five argmax+knockout passes (ops/fused_full_rollout mirrors these
+    # words bit-for-bit). Key truncation 32->25 bits biases key-ties toward
+    # lower slots with P ~ (64^2/2)*2^-25 ~ 6e-5 per use — negligible.
     do_immo = cid == IMMOLATE
     # Sign-flipped i32 ordering (core.rng.sort_key_i32): u32 argmax
     # mis-orders on XLA:TPU inside fused programs; i32 is what the fused
     # kernel compares too, keeping backends bit-identical.
-    g = R.sort_key_i32(rolls["immo_bits"], st.card_alive)
+    g = R.sort_key_i32(
+        (rolls["immo_bits"] & jnp.uint32(0xFFFFFF80))
+        | (jnp.uint32(127) - jnp.arange(fe.MAX_DECK, dtype=jnp.uint32)),
+        st.card_alive)
     # Iterated argmax (top_k lowers to a sort on TPU; this runs every step).
     n_kill = jnp.minimum(5, jnp.sum(st.card_alive))
     immo_kill = jnp.zeros(fe.MAX_DECK, bool)

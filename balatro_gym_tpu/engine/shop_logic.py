@@ -88,11 +88,22 @@ def generate_inventory(key, ante, owned_jokers, vouchers):
     costs = costs.at[0:3].set(
         jnp.trunc(PACK_COSTS[pack_kind].astype(jnp.float32) * mult).astype(jnp.int32))
 
-    # Slots 3-5: three distinct unowned jokers — top-3 of iid uniform u32
-    # keys over the eligibility mask, a uniform sample without replacement
-    # (shop.py:124-125 rng.sample). Integer keys instead of Gumbel so the
-    # fused full-env kernel can replay the identical draws bit-exactly via
-    # ops/kernel_rng (ties/zero-keys have probability ~2**-32: negligible).
+    # Slots 3-5: three distinct unowned jokers — top-3 of iid uniform
+    # PACKED priority words over the eligibility mask, a uniform sample
+    # without replacement (shop.py:124-125 rng.sample). Integer keys
+    # instead of Gumbel so the fused full-env kernel can replay the
+    # identical draws bit-exactly via ops/kernel_rng. The word packs
+    # key20 (bits 31-12) | base_cost4 (bits 11-8) | 255-id (bits 7-0):
+    # the unique id payload makes every word distinct (ties impossible,
+    # and the packed word is never 0, so it never collides with the
+    # I32_MIN disabled sentinel), and the cost/id payloads let the fused
+    # kernel run ONE top-3 min/max insertion cascade with no per-pass
+    # argmax+knockout and no separate id/cost lookups
+    # (ops/fused_full_rollout._shop_gen mirrors these words bit-for-bit).
+    # Key truncation 32->20 bits biases key-ties toward the higher packed
+    # payload with P ~ (151^2/2)*2^-20 ~ 1% per generation of ANY tie
+    # existing (~0.04% of generations change a winner) — negligible
+    # distributionally, and deterministic/identical on both paths.
     # One-hot any-match, NOT a bool scatter-set (XLA:TPU silently drops dynamic-index BOOL scatter updates in vmapped programs).
     owned_oh = jnp.any(
         jnp.arange(NUM_JOKERS)[:, None]
@@ -101,8 +112,11 @@ def generate_inventory(key, ante, owned_jokers, vouchers):
     # Ordering runs in the sign-flipped i32 domain (core.rng.sort_key_i32):
     # u32 argmax mis-orders on XLA:TPU inside fused programs, and the fused
     # kernel compares i32 anyway — this keeps every backend bit-identical.
-    g = R.sort_key_i32(jax.random.bits(k_jok, (NUM_JOKERS,), jnp.uint32),
-                       eligible)
+    bits = jax.random.bits(k_jok, (NUM_JOKERS,), jnp.uint32)
+    packed = ((bits & jnp.uint32(0xFFF00000))
+              | (_JCOST.astype(jnp.uint32) << 8)
+              | (jnp.uint32(255) - jnp.arange(NUM_JOKERS, dtype=jnp.uint32)))
+    g = R.sort_key_i32(packed, eligible)
     # Iterated argmax instead of top_k: top_k lowers to a full sort on TPU,
     # and this runs inside every env step (shop regeneration branch).
     jids = []

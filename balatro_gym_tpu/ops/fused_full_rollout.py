@@ -32,7 +32,7 @@ Two modes (static switch):
 
 Deck shuffle (autoreset): the jnp engine uses ``jax.random.permutation``
 (sort-based, impractical in-kernel). The kernel shuffles by drawing one
-random priority word per card and bitonic-sorting the 64 (priority<<6|index)
+random priority word per card and network-sorting the 64 (priority<<6|index)
 words across VMEM rows — a uniform permutation up to 26-bit priority ties
 (P ~ 2e-5 per episode, broken deterministically by index). Exact-fed
 validation therefore compares envs up to their first autoreset, mirroring
@@ -501,10 +501,13 @@ def _remove_positions(s, rem):
     new_hidx = []
     new_ch = {k: [] for k in _HCH}
     neg1 = jnp.full((SUB, LANES), -1, i32)
+    # Route precompute (see _draw_pass): one compare+select per (src, dst)
+    # pair instead of sub+compare+and+select.
+    route = [jnp.where(keep[p], cum[p] - 1, neg1) for p in range(N_HAND)]
     for q in range(N_HAND):
         acc = neg1
         for p in range(q, N_HAND):
-            acc = jnp.where(keep[p] & (cum[p] - 1 == q), pk[p], acc)
+            acc = jnp.where(route[p] == q, pk[p], acc)
         got = acc >= 0
         new_hidx.append(jnp.where(got, acc >> 20, -1))
         new_ch["hrk"].append(jnp.where(got, acc & 15, 0))
@@ -552,10 +555,14 @@ def _draw_pass(s, do):
     new_hidx = list(s["hidx"])
     new_ch = {k: list(s[k]) for k in _HCH}
     neg1 = jnp.full((SUB, LANES), -1, i32)
+    # Route precompute: fold `chosen` into the destination once so the 64x8
+    # grid pays one compare+select per pair instead of compare+and+select
+    # (route is -1 when not chosen, and p ranges over [0, 8) only).
+    route = [jnp.where(chosen[d], pos[d], neg1) for d in range(N_DECK)]
     for p in range(N_HAND):
         acc = neg1
         for d in range(N_DECK):
-            acc = jnp.where(chosen[d] & (pos[d] == p), pk[d], acc)
+            acc = jnp.where(route[d] == p, pk[d], acc)
         drawn = acc >= 0
         new_hidx[p] = jnp.where(drawn, acc >> 20, new_hidx[p])
         new_ch["hrk"][p] = jnp.where(drawn, acc & 15, new_ch["hrk"][p])
@@ -748,9 +755,15 @@ def _shop_gen(s, rng, key, ante, pow115):
     for kind in (SL.PACK_TAROT, SL.PACK_PLANET, SL.PACK_SPECTRAL):
         third_cost = jnp.where(third == kind, _PACK_COSTS[kind], third_cost)
 
-    # 3 distinct unowned jokers: top-3 of iid u32 keys over eligibility.
-    # Ordering runs in the sign-flipped i32 domain (_sortable): u32 0 (the
-    # "disabled" sentinel) maps to INT32_MIN, preserving selection exactly.
+    # 3 distinct unowned jokers: ONE top-3 min/max insertion cascade over
+    # PACKED priority words — key20 | base_cost4 | (255-id) low byte,
+    # mirroring shop_logic.generate_inventory's packed ordering bit-for-bit
+    # (see its docstring for the tie/uniformity analysis). The unique id
+    # payload makes every word distinct, so a 5-op-per-joker sorted-triple
+    # insertion (2 max/min per kept rank) replaces the three
+    # argmax+knockout passes AND the per-pass id/cost trackers — the ids
+    # and costs decode from the winners' low 12 bits (~2.4k -> ~1.6k
+    # vector ops for this stage).
     if rng.exact:
         jkeys = [KR.random_bits32(k_jok[0], k_jok[1],
                                   jnp.full((SUB, LANES), j, u32))
@@ -768,30 +781,23 @@ def _shop_gen(s, rng, key, ante, pow115):
         bit = jnp.uint32(1) << (_bitcast(jid, u32) & jnp.uint32(31))
         for wi in range(5):
             own[wi] = own[wi] | jnp.where(w == wi, bit, jnp.uint32(0))
-    keys = []
+    r1 = disabled
+    r2 = disabled
+    r3 = disabled
     for j in range(JT.NUM_JOKERS):
         if not _ELIGIBLE[j]:
-            keys.append(disabled)
             continue
         owned = ((own[j >> 5] >> jnp.uint32(j & 31)) & 1) != 0
-        keys.append(jnp.where(owned, disabled, _sortable(jkeys[j])))
-    jids = []
-    jcosts = []
-    for _ in range(3):
-        best_k = disabled
-        best_j = zero
-        best_c = zero
-        for j in range(JT.NUM_JOKERS):
-            b = keys[j] > best_k
-            best_k = jnp.maximum(keys[j], best_k)
-            best_j = jnp.where(b, j, best_j)
-            # track the winner's base cost in the same pass — replaces the
-            # separate 3x145-way one-hot cost lookup
-            best_c = jnp.where(b, _JCOST[j], best_c)
-        jids.append(best_j)
-        jcosts.append(best_c)
-        keys = [jnp.where(best_j == j, disabled, keys[j])
-                for j in range(JT.NUM_JOKERS)]
+        payload = jnp.uint32((_JCOST[j] << 8) | (255 - j))
+        k = jnp.where(owned, disabled,
+                      _sortable((jkeys[j] & jnp.uint32(0xFFF00000)) | payload))
+        t1 = jnp.minimum(r1, k)
+        r1 = jnp.maximum(r1, k)
+        t2 = jnp.minimum(r2, t1)
+        r2 = jnp.maximum(r2, t1)
+        r3 = jnp.maximum(r3, t2)
+    jids = [255 - (r & 255) for r in (r1, r2, r3)]
+    jcosts = [(r >> 8) & 15 for r in (r1, r2, r3)]
 
     vid = rng.randint(k_vouch, 0, 2)
     vcost = jnp.where(vid == 0, _VOUCHER_COSTS[0], _VOUCHER_COSTS[1])
@@ -1152,7 +1158,6 @@ def _create_cards(s, n, ranks4, suits4, enhs4):
     # Packed card words (rk 0-3 | su 4-7 | en 8-11): the 64x4 (slot,
     # ordinal) grid costs one compare+select per pair instead of three.
     pk4 = [ranks4[k] | (suits4[k] << 4) | (enhs4[k] << 8) for k in range(4)]
-    ordinal = jnp.zeros((SUB, LANES), i32)
     rk = list(s["rk"])
     su = list(s["su"])
     en = list(s["en"])
@@ -1160,17 +1165,26 @@ def _create_cards(s, n, ranks4, suits4, enhs4):
     slc = list(s["slc"])
     al = list(s["al"])
     tlo, thi = _rows_to_bits(take)
+    # Route precompute (see _draw_pass): ordinal of taken slot d = #takes at
+    # slots below d, folded with `take` into one word so the grid pays one
+    # compare+select per (slot, ordinal) pair.
+    neg1 = jnp.full((SUB, LANES), -1, i32)
+    ordinal = jnp.zeros((SUB, LANES), i32)
+    route = [None] * N_DECK
+    for d in range(N_DECK):
+        route[d] = jnp.where(take[d], ordinal, neg1)
+        ordinal = ordinal + take[d].astype(i32)
     for d in range(N_DECK):
         nv = jnp.zeros((SUB, LANES), i32)
         for k in range(4):
-            nv = jnp.where(take[d] & (ordinal == k), pk4[k], nv)
-        rk[d] = jnp.where(take[d], nv & 15, rk[d])
-        su[d] = jnp.where(take[d], (nv >> 4) & 15, su[d])
-        en[d] = jnp.where(take[d], (nv >> 8) & 15, en[d])
-        edt[d] = jnp.where(take[d], 0, edt[d])
-        slc[d] = jnp.where(take[d], 0, slc[d])
-        al[d] = al[d] | take[d]
-        ordinal = ordinal + take[d].astype(i32)
+            nv = jnp.where(route[d] == k, pk4[k], nv)
+        tk = take[d]
+        rk[d] = jnp.where(tk, nv & 15, rk[d])
+        su[d] = jnp.where(tk, (nv >> 4) & 15, su[d])
+        en[d] = jnp.where(tk, (nv >> 8) & 15, en[d])
+        edt[d] = jnp.where(tk, 0, edt[d])
+        slc[d] = jnp.where(tk, 0, slc[d])
+        al[d] = al[d] | tk
     return {"rk": rk, "su": su, "en": en, "edt": edt, "slc": slc, "al": al,
             "bp_lo": s["bp_lo"] & ~tlo, "bp_hi": s["bp_hi"] & ~thi}
 
@@ -1433,6 +1447,14 @@ def _consumable_branch(s, rng, view, a):
         ikill = [false] * N_DECK
         n_killed = zero
     else:
+        # ONE top-5 min/max insertion cascade over PACKED priority words
+        # (key25 | 127-slot), mirroring consumable_logic's Immolate ordering
+        # bit-for-bit (see its docstring). Unique strictly-positive payloads
+        # mean no ties and no collision with the I32_MIN dead sentinel; the
+        # kill SET decodes from the winners' low 7 bits into a u32 bitset,
+        # and n_killed == n_kill by construction (winners are distinct
+        # alive slots). Replaces five argmax+knockout passes
+        # (~2.2k -> ~1.2k vector ops for this stage).
         do_immo = cid == CL.IMMOLATE
         if rng.exact:
             ikeys = [KR.random_bits32(k3[0], k3[1], jnp.full((SUB, LANES), d, u32))
@@ -1441,29 +1463,34 @@ def _consumable_branch(s, rng, view, a):
             ib = _bitcast(pltpu.prng_random_bits((N_DECK, SUB, LANES)), u32)
             ikeys = [ib[d] for d in range(N_DECK)]
         dis_d = jnp.full((SUB, LANES), _SORT_FLIP, i32)
-        ikeys = [jnp.where(s["al"][d], _sortable(ikeys[d]), dis_d)
-                 for d in range(N_DECK)]
+        r_im = [dis_d] * 5
+        for d in range(N_DECK):
+            kd = jnp.where(
+                s["al"][d],
+                _sortable((ikeys[d] & jnp.uint32(0xFFFFFF80))
+                          | jnp.uint32(127 - d)), dis_d)
+            t = kd
+            for i in range(4):
+                t_nxt = jnp.minimum(r_im[i], t)
+                r_im[i] = jnp.maximum(r_im[i], t)
+                t = t_nxt
+            r_im[4] = jnp.maximum(r_im[4], t)
         n_alive = zero
         for d in range(N_DECK):
             n_alive = n_alive + s["al"][d].astype(i32)
         n_kill = jnp.minimum(5, n_alive)
-        ikill = [false for _ in range(N_DECK)]
-        for k in range(5):
-            best_k = dis_d
-            best_d = zero
-            for d in range(N_DECK):
-                b = ikeys[d] > best_k
-                best_k = jnp.maximum(ikeys[d], best_k)
-                best_d = jnp.where(b, d, best_d)
-            kq = k < n_kill
-            for d in range(N_DECK):
-                e = best_d == d  # one compare serves kill-set AND knockout
-                ikill[d] = ikill[d] | (e & kq)
-                ikeys[d] = jnp.where(e, dis_d, ikeys[d])
-        ikill = [ikill[d] & s["al"][d] for d in range(N_DECK)]
-        n_killed = zero
-        for d in range(N_DECK):
-            n_killed = n_killed + ikill[d].astype(i32)
+        klo = jnp.zeros((SUB, LANES), u32)
+        khi = jnp.zeros((SUB, LANES), u32)
+        for i in range(5):
+            # i < n_kill implies r_im[i] is a real winner (>= i+1 alive)
+            vi = jnp.full((SUB, LANES), i, i32) < n_kill
+            w = 127 - (r_im[i] & 127)
+            bit = jnp.uint32(1) << (_bitcast(w, u32) & jnp.uint32(31))
+            klo = klo | jnp.where(vi & (w < 32), bit, jnp.uint32(0))
+            khi = khi | jnp.where(vi & (w >= 32), bit, jnp.uint32(0))
+        ikill = [((((klo if d < 32 else khi) >> jnp.uint32(d % 32)) & 1) != 0)
+                 for d in range(N_DECK)]
+        n_killed = n_kill
 
     if "cons_cryptid" in _ABLATE:
         do_cryptid = false
@@ -1806,24 +1833,26 @@ def _sample_action(s):
 # ---------------------------------------------------------------------------
 
 
-def _bitonic64(v):
-    """In-register ascending bitonic sort of 64 u32 rows."""
+def _batcher64(v):
+    """In-register ascending Batcher odd-even merge sort of 64 i32 rows —
+    543 compare-exchanges vs bitonic's 672 (same result: all real keys are
+    distinct via their packed index payload, and the 12 pad sentinels are
+    identical INT32_MAX words, so every sorting network produces the
+    identical output)."""
     v = list(v)
-    k = 2
-    while k <= 64:
-        j = k // 2
-        while j >= 1:
-            for i in range(64):
-                l = i ^ j
-                if l > i:
-                    lo = jnp.minimum(v[i], v[l])
-                    hi = jnp.maximum(v[i], v[l])
-                    if (i & k) == 0:
-                        v[i], v[l] = lo, hi
-                    else:
-                        v[i], v[l] = hi, lo
-            j //= 2
-        k *= 2
+    p = 1
+    while p < 64:
+        k = p
+        while k >= 1:
+            for j in range(k % p, 64 - k, 2 * k):
+                for i in range(0, min(k, 64 - j - k)):
+                    a, b = i + j, i + j + k
+                    if a // (p * 2) == b // (p * 2):
+                        lo = jnp.minimum(v[a], v[b])
+                        hi = jnp.maximum(v[a], v[b])
+                        v[a], v[b] = lo, hi
+            k //= 2
+        p *= 2
     return v
 
 
@@ -1850,21 +1879,23 @@ def _reset_updates(s, rng):
         prio = [pb[c] for c in range(52)]
 
     # sort in the sign-flipped i32 domain (no unsigned min/max in Mosaic);
-    # the flip touches only bit 31, so the packed low-6-bit index survives.
-    vals = [_sortable((prio[c] & jnp.uint32(0xFFFFFFC0)) | jnp.uint32(c))
+    # the flip touches only bit 31, so the packed low-6-bit payload
+    # survives. The payload is the card's (suit<<4 | rank-2) directly — 52
+    # distinct 6-bit words, so the sort is the same uniform permutation as
+    # with an index payload, and the post-sort decode is 2 ops per channel
+    # instead of the 13-ary div/mod staircase.
+    vals = [_sortable((prio[c] & jnp.uint32(0xFFFFFFC0))
+                      | jnp.uint32(((c // 13) << 4) | (c % 13)))
             for c in range(52)]
     vals += [jnp.full((SUB, LANES), 2 ** 31 - 1, i32) for _ in range(12)]
-    svals = _bitonic64(vals)
+    svals = _batcher64(vals)
 
     rk = []
     su = []
     for d in range(N_DECK):
         if d < 52:
-            idx = svals[d] & jnp.int32(63)
-            b = ((idx >= 13).astype(i32) + (idx >= 26).astype(i32)
-                 + (idx >= 39).astype(i32))
-            rk.append(idx - 13 * b + 2)
-            su.append(b)
+            rk.append((svals[d] & jnp.int32(15)) + 2)
+            su.append((svals[d] >> 4) & jnp.int32(3))
         else:
             rk.append(zero)
             su.append(zero)
@@ -2099,10 +2130,12 @@ def _step(s, a, rng, pow115, pow15):
         nxt = _msel(gate_fd & (nxt["bid"] == B.HOOK), hook_upd, nxt)
 
     # ---- invalid-action / terminated-before-step freezes ----
-    nxt = _msel(legal, nxt, s)
+    # Both freezes keep `s`, so one fused full-state select serves them
+    # (where(over, s, where(legal, nxt, s)) == where(legal & ~over, nxt, s))
+    # — the second full-state _msel was ~500 identity-or-freeze row selects.
+    nxt = _msel(legal & ~over, nxt, s)
     reward = jnp.where(legal, reward, -1.0)
     term = term & legal
-    nxt = _msel(over, s, nxt)
     reward = jnp.where(over, 0.0, reward)
     done = over | term
     nxt["done"] = done

@@ -44,8 +44,10 @@ from balatro_gym_tpu.engine import sim_env
 from balatro_gym_tpu.ops.fused_rollout import TILE, rollout_fused
 
 N_ENVS = 131072       # TPU sim-kernel shape: throughput saturates here
-N_ENVS_FULL = 65536   # TPU full-env kernel saturation shape (grid-size
-# sweep scripts/probe_env_counts.py; 16384 also reported for r04 comparability)
+N_ENVS_FULL = 131072  # TPU full-env kernel saturation shape (grid-size
+# sweep scripts/probe_env_counts.py + /tmp-style shape sweeps each round —
+# the round-5 op-count cuts moved saturation from 65536 to 131072;
+# 16384 also reported for r04 comparability)
 N_ENVS_CPU = 8192     # CPU-baseline shape: CPU throughput is flat in env
 #                       count (cache/bandwidth-bound) — measured at its own
 #                       best shape so the ratio stays fair (see
