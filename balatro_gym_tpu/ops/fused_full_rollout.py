@@ -632,12 +632,26 @@ def _score_play(s, rng, view, k_score):
     n_union = zero
     for p in range(N_HAND):
         n_union = n_union + uni[p].astype(i32)
+    # Rank histogram via dynamic-shift bitpack: 4-bit count fields (counts
+    # <= 8), ranks 2-9 in w_lo, 10-14 in w_hi — 8 shifted adds + 13 decodes
+    # instead of the 13x8 compare grid. crk is always in [2, 14]: deck
+    # slots 0-7 hold real cards from reset on and destruction never zeroes
+    # the rank channel.
+    w_lo = jnp.zeros((SUB, LANES), u32)
+    w_hi = jnp.zeros((SUB, LANES), u32)
+    one = jnp.uint32(1)
+    for p in range(N_HAND):
+        sh = _bitcast((crk[p] - 2) << 2, u32)  # 4*(rank-2) in [0, 48]
+        v = jnp.where(uni[p], one, jnp.uint32(0))
+        lo = sh < 32
+        w_lo = w_lo + jnp.where(lo, v << (sh & jnp.uint32(31)), jnp.uint32(0))
+        w_hi = w_hi + jnp.where(lo, jnp.uint32(0),
+                                v << ((sh - 32) & jnp.uint32(31)))
     rc = []
     for r in range(2, 15):
-        acc = zero
-        for p in range(N_HAND):
-            acc = acc + (uni[p] & (crk[p] == r)).astype(i32)
-        rc.append(acc)
+        sh4 = 4 * (r - 2)
+        w = w_lo if sh4 < 32 else w_hi
+        rc.append(_bitcast((w >> jnp.uint32(sh4 % 32)) & jnp.uint32(15), i32))
     max_c = zero
     for x in rc:
         max_c = jnp.maximum(max_c, x)
@@ -647,12 +661,13 @@ def _score_play(s, rng, view, k_score):
         is_first = (x == max_c) & ~seen
         seen = seen | is_first
         max2 = jnp.maximum(max2, jnp.where(is_first, 0, x))
-    sc = []
-    for su in range(4):
-        acc = zero
-        for p in range(N_HAND):
-            acc = acc + (uni[p] & (csu[p] == su)).astype(i32)
-        sc.append(acc)
+    # Suit histogram, same bitpack trick: 4 suits x 4-bit fields, one word.
+    w_su = jnp.zeros((SUB, LANES), u32)
+    for p in range(N_HAND):
+        shs = _bitcast(csu[p] << 2, u32) & jnp.uint32(31)
+        w_su = w_su + jnp.where(uni[p], one << shs, jnp.uint32(0))
+    sc = [_bitcast((w_su >> jnp.uint32(4 * su)) & jnp.uint32(15), i32)
+          for su in range(4)]
     n_suits = ((sc[0] > 0).astype(i32) + (sc[1] > 0).astype(i32)
                + (sc[2] > 0).astype(i32) + (sc[3] > 0).astype(i32))
     is_flush = (n_suits == 1) & (n_union >= 5)
@@ -1189,8 +1204,15 @@ def _create_cards(s, n, ranks4, suits4, enhs4):
             "bp_lo": s["bp_lo"] & ~tlo, "bp_hi": s["bp_hi"] & ~thi}
 
 
-def _consumable_branch(s, rng, view, a):
-    """Mirror of consumable_logic.use_consumable. Returns (upd, reward)."""
+def _consumable_branch(s, rng, view, a, live):
+    """Mirror of consumable_logic.use_consumable. Returns (upd, reward).
+
+    ``live`` (the step's do_use predicate) voids ``cid`` on non-consumable
+    lanes: every case predicate below derives from ``cid``, so every state
+    write self-gates and the returned rows equal ``s`` wherever ``live`` is
+    false — the caller uses them as the merge BASE instead of paying a
+    ~470-row full select (only the unconditional selection-clear and
+    stream-counter writes still merge under do_use)."""
     zero = jnp.zeros((SUB, LANES), i32)
     zf = jnp.zeros((SUB, LANES), f32)
     false = jnp.zeros((SUB, LANES), bool)
@@ -1201,6 +1223,7 @@ def _consumable_branch(s, rng, view, a):
     for c5 in range(N_CONS):
         raw = jnp.where(idx == c5, s["cons"][c5], raw)
     cid = jnp.where(raw >= CL.ENUMNAME_OFFSET, raw - CL.ENUMNAME_OFFSET, raw)
+    cid = jnp.where(live, cid, -1)
 
     sel = [s["sel"][p] & present[p] for p in range(N_HAND)]
     n_sel = zero
@@ -2001,7 +2024,7 @@ def _step(s, a, rng, pow115, pow15):
     if "cons" in _ABLATE:
         cons_upd, r_use = {}, jnp.zeros((SUB, LANES), f32)
     else:
-        cons_upd, r_use = _consumable_branch(s, rng, view, a)
+        cons_upd, r_use = _consumable_branch(s, rng, view, a, do_use)
     pos = jnp.clip(a - Action.SELECT_CARD_BASE, 0, N_HAND - 1)
     toggled = [_sel(pos == p, ~s["sel"][p], s["sel"][p]) for p in range(N_HAND)]
     buy_upd, r_buy = _shop_buy_branch(s, a)
@@ -2051,7 +2074,16 @@ def _step(s, a, rng, pow115, pow15):
     # ---- assemble (mutually exclusive predicates) ----
     reward = jnp.full((SUB, LANES), -1.0, f32)
     play_cont = do_play & boss_ok & ~beat & ~fail
-    nxt = _msel(play_cont, {**play_upd, "hl": s["hl"] - 1}, s)
+    # The consumable branch's rows are self-gated by do_use (its cid is
+    # voided elsewhere), so they BECOME the merge base for free; only its
+    # unconditional selection-clear / stream-counter writes still select.
+    base = s
+    if "cons" not in _ABLATE:
+        base = {**s, **{k: v for k, v in cons_upd.items()
+                        if k not in ("sel", "ctr")}}
+        base = _msel(do_use, {"sel": cons_upd["sel"],
+                              "ctr": cons_upd["ctr"]}, base)
+    nxt = _msel(play_cont, {**play_upd, "hl": s["hl"] - 1}, base)
     nxt = _msel(do_play & boss_ok & fail, play_upd, nxt)
     nxt = _msel(beat_play, play_upd, nxt)
     nxt = _msel(adv_do, adv_upd, nxt)
@@ -2065,7 +2097,6 @@ def _step(s, a, rng, pow115, pow15):
     reward = jnp.where(do_disc, r_disc, reward)
     nxt = _msel(do_sel, {"sel": toggled}, nxt)
     reward = jnp.where(do_sel, 0.0, reward)
-    nxt = _msel(do_use, cons_upd, nxt)
     reward = jnp.where(do_use, r_use, reward)
     nxt = _msel(do_buy, buy_upd, nxt)
     reward = jnp.where(do_buy, r_buy, reward)
