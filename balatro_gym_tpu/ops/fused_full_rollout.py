@@ -1053,7 +1053,13 @@ def _play_branch(s, rng, view):
 
 
 def _discard_branch(s, rng, view):
-    """Mirror of full_env._discard (draw applied post-merge)."""
+    """Mirror of full_env._discard (draw applied post-merge).
+
+    Returns (upd, reward, rem): the hand-position removal mask ``rem`` is
+    returned instead of applied — ``_step`` routes it through the SHARED
+    pre-draw ``_remove_positions`` instantiation (one compaction serves the
+    discard and consumable-destroy lanes, which are disjoint and both
+    compact the same pre-step hand)."""
     zero = jnp.zeros((SUB, LANES), i32)
     ranks, suits, enh, ed, seal, present = view
     sel = [s["sel"][p] & present[p] for p in range(N_HAND)]
@@ -1100,7 +1106,6 @@ def _discard_branch(s, rng, view):
     rem = [(sel[p] | s["high"][p])
            & (jnp.full((SUB, LANES), p, i32) < s["hn"])
            for p in range(N_HAND)]
-    upd.update(_remove_positions(s, rem))
     upd["sel"] = [jnp.zeros((SUB, LANES), bool) for _ in range(N_HAND)]
     upd["high"] = [jnp.zeros((SUB, LANES), bool) for _ in range(N_HAND)]
 
@@ -1110,7 +1115,7 @@ def _discard_branch(s, rng, view):
     reward = reward + jnp.where(
         (progress < 0.5) & (dl_post > 1), 0.5,
         jnp.where((progress > 0.8) & (dl_post > 1), -0.3, 0.0))
-    return upd, reward
+    return upd, reward, rem
 
 
 # ---------------------------------------------------------------------------
@@ -1149,16 +1154,6 @@ def _rows_to_bits(rows):
         else:
             hi = hi | jnp.where(rows[d], jnp.uint32(1 << (d - 32)), jnp.uint32(0))
     return lo, hi
-
-
-def _destroy(s, kill_rows):
-    """_destroy_slots: mark dead, drop from hand (no refill)."""
-    klo, khi = _rows_to_bits(kill_rows)
-    upd = {"al": [s["al"][d] & ~kill_rows[d] for d in range(N_DECK)]}
-    rem = _kill_to_rem(s, klo, khi)
-    s_dead = {**s, **upd}
-    upd.update(_remove_positions(s_dead, rem))
-    return upd
 
 
 def _create_cards(s, n, ranks4, suits4, enhs4):
@@ -1530,13 +1525,20 @@ def _consumable_branch(s, rng, view, a, live):
             src_su = jnp.where(tgt1[p], suits[p], src_su)
             src_en = jnp.where(tgt1[p], enh[p], src_en)
 
-    # one destroy for all three destroying cases, applied immediately
+    # one destroy for all three destroying cases. The dead-mark self-gates
+    # (dc_kill rows are cid-gated); the hand-side compaction is DEFERRED to
+    # _step's shared pre-draw _remove_positions — the discard and
+    # consumable-destroy lanes are disjoint and both compact the same
+    # pre-step hand, so one instantiation (~780 vector eqns) serves both.
     dc_kill = [(do_hang & hang64[d]) | (do_fgi & t164[d])
                | (do_immo & ikill[d]) for d in range(N_DECK)]
     dc_destroy = do_hang | do_fgi | do_immo
     if "cons_dc" not in _ABLATE:
-        destroy_upd = _destroy(s, dc_kill)
-        cs = _msel(dc_destroy, destroy_upd, cs)
+        cs["al"] = [cs["al"][d] & ~dc_kill[d] for d in range(N_DECK)]
+        klo_dc, khi_dc = _rows_to_bits(dc_kill)
+        rem_dc = _kill_to_rem(s, klo_dc, khi_dc)
+    else:
+        rem_dc = [false] * N_HAND
     cs["money"] = jnp.where(do_immo, s["money"] + 20, cs["money"])
 
     n_hang = zero
@@ -1600,13 +1602,14 @@ def _consumable_branch(s, rng, view, a, live):
     # _msel(success, cs, fail_s) here — ~450 row selects of pure identity.
     reward = jnp.where(success, reward, -1.0)
     # Return only the keys the branch can touch — shop rows / boss state /
-    # phase counters etc. are never modified here, and returning them would
-    # cost ~70 identity selects in _step's do_use merge.
+    # phase counters etc. are never modified here. hidx/hn/ih are no longer
+    # touched: the destroy compaction is applied by _step's shared
+    # _remove_positions (see rem_dc above).
     touched = ("rk", "su", "en", "edt", "slc", "al", "bp_lo", "bp_hi",
-               "hidx", "hrk", "hsu", "hen", "hed", "hsl", "hn",
-               "ih_lo", "ih_hi", "sel", "money", "lvl", "cons", "cn",
+               "hrk", "hsu", "hen", "hed", "hsl",
+               "sel", "money", "lvl", "cons", "cn",
                "jok", "jn", "hsize", "ctr")
-    return {k: cs[k] for k in touched}, reward
+    return {k: cs[k] for k in touched}, reward, rem_dc, dc_destroy
 
 
 # ---------------------------------------------------------------------------
@@ -2019,12 +2022,15 @@ def _step(s, a, rng, pow115, pow15):
             s, rng, view)
     if "disc" in _ABLATE:
         disc_upd, r_disc = {}, jnp.zeros((SUB, LANES), f32)
+        rem_disc = [false] * N_HAND
     else:
-        disc_upd, r_disc = _discard_branch(s, rng, view)
+        disc_upd, r_disc, rem_disc = _discard_branch(s, rng, view)
     if "cons" in _ABLATE:
         cons_upd, r_use = {}, jnp.zeros((SUB, LANES), f32)
+        rem_dc, dc_destroy = [false] * N_HAND, false
     else:
-        cons_upd, r_use = _consumable_branch(s, rng, view, a, do_use)
+        cons_upd, r_use, rem_dc, dc_destroy = _consumable_branch(
+            s, rng, view, a, do_use)
     pos = jnp.clip(a - Action.SELECT_CARD_BASE, 0, N_HAND - 1)
     toggled = [_sel(pos == p, ~s["sel"][p], s["sel"][p]) for p in range(N_HAND)]
     buy_upd, r_buy = _shop_buy_branch(s, a)
@@ -2095,6 +2101,11 @@ def _step(s, a, rng, pow115, pow15):
     term = do_play & boss_ok & fail
     nxt = _msel(do_disc, disc_upd, nxt)
     reward = jnp.where(do_disc, r_disc, reward)
+    # Shared pre-draw hand compaction: ONE _remove_positions serves the
+    # discard and consumable-destroy lanes (disjoint, both compact the
+    # pre-step hand `s`).
+    rem_shared = [(do_disc & rem_disc[p]) | rem_dc[p] for p in range(N_HAND)]
+    nxt = _msel(do_disc | dc_destroy, _remove_positions(s, rem_shared), nxt)
     nxt = _msel(do_sel, {"sel": toggled}, nxt)
     reward = jnp.where(do_sel, 0.0, reward)
     reward = jnp.where(do_use, r_use, reward)
