@@ -345,3 +345,39 @@ def test_joker_buy_with_full_slots_still_charges(step):
     assert int(st.money) == 1000 - cost   # charged anyway
     assert int(st.shop_n) == n0 - 1       # item popped anyway
     assert int(st.joker_n) == 5           # joker NOT added
+
+
+def test_shop_joker_top3_packed_ordering_oracle():
+    """PARITY #B16: the shop's 3 joker slots are the top-3 of PACKED
+    priority words — key20 (bits 31-12) | base_cost4 (bits 11-8) |
+    255-id (bits 7-0) — over eligible unowned ids, in unsigned order.
+    Recomputed here independently in numpy from the same jax.random bits
+    so the engine/kernel-shared algebra can't drift silently
+    (shop_logic.generate_inventory; mirrored op-for-op by
+    ops/fused_full_rollout._shop_gen)."""
+    from balatro_gym_tpu.ops.joker_tables import JOKER_BASE_COST_NP, NUM_JOKERS
+
+    owned_ids = [3, 7, 12, 0, 0]
+    for seed in range(25):
+        key = jax.random.key(seed)
+        _, k_jok, _, _ = jax.random.split(key, 4)
+        types, items, costs, n = SL.generate_inventory(
+            key, jnp.int32(1), jnp.asarray(owned_ids, jnp.int32),
+            jnp.uint32(0))
+        bits = np.asarray(jax.random.bits(k_jok, (NUM_JOKERS,), jnp.uint32))
+        cost_np = JOKER_BASE_COST_NP.astype(np.uint32)
+        ids = np.arange(NUM_JOKERS, dtype=np.uint32)
+        packed = (bits & np.uint32(0xFFF00000)) | (cost_np << 8) | (255 - ids)
+        eligible = (JOKER_BASE_COST_NP > 0) & ~np.isin(
+            np.arange(NUM_JOKERS), owned_ids)
+        # eligible packed words are >= 105 > the 0 masked sentinel, and the
+        # unique id payload makes them all distinct — order is total.
+        masked = np.where(eligible, packed, np.uint32(0))
+        expect = np.argsort(masked)[::-1][:3]
+        got = np.asarray(items[3:6])
+        assert got.tolist() == expect.tolist()
+        assert len(set(got.tolist())) == 3
+        assert all(eligible[j] for j in got.tolist())
+        # slot costs = trunc(base_cost * 1.15^0) = base_cost at ante 1
+        assert np.asarray(costs[3:6]).tolist() == [
+            int(JOKER_BASE_COST_NP[j]) for j in got.tolist()]
